@@ -1,0 +1,145 @@
+"""Host-side (numpy) k-mer codec: the normative definition of DSK semantics.
+
+This module is the single source of truth for:
+
+  * the 2-bit alphabet  A=0, C=1, T=2, G=3   (reference: README.md:104-112 —
+    DSK orders the alphabet A<C<T<G, so this encoding makes "canonical"
+    a plain unsigned integer min),
+  * reverse complement   (code ^ 2 complements a base: A<->T, C<->G),
+  * canonical k-mer      min(forward, revcomp) as 2k-bit integers,
+  * split-at-invalid     any byte not in [ACGTacgt] terminates a segment
+    (reference: test/readN.fasta + test/IUPAC.fasta semantics),
+  * the multi-word (W x 32-bit, big-endian word order) representation used
+    on device for arbitrary k (reference analog: gatb LargeInt<N>,
+    SURVEY.md C3).
+
+Everything here is host numpy / pure Python; the device implementations in
+dsk_tpu.kmer.device are tested against this module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Number of 32-bit words needed for a 2k-bit k-mer.
+def words_per_kmer(k: int) -> int:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (2 * k + 31) // 32
+
+
+# Byte -> 2-bit code lookup. Invalid characters (N, IUPAC ambiguity codes,
+# anything non-ACGT) map to INVALID, which splits reads into segments.
+INVALID = np.uint8(0xFF)
+_LUT = np.full(256, INVALID, dtype=np.uint8)
+for _ch, _code in (("A", 0), ("C", 1), ("T", 2), ("G", 3)):
+    _LUT[ord(_ch)] = _code
+    _LUT[ord(_ch.lower())] = _code
+
+_CODE2CHAR = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+
+def encode_bytes(seq: bytes | bytearray | np.ndarray) -> np.ndarray:
+    """ASCII sequence -> uint8 code array (0..3, or INVALID)."""
+    buf = np.frombuffer(bytes(seq), dtype=np.uint8) if not isinstance(seq, np.ndarray) else seq
+    return _LUT[buf]
+
+
+def decode_codes(codes: np.ndarray) -> str:
+    """uint8 code array (0..3) -> ACTG string."""
+    return _CODE2CHAR[np.asarray(codes, dtype=np.uint8)].tobytes().decode()
+
+
+def kmer_to_string(value: int, k: int) -> str:
+    """2k-bit packed integer (base at string position 0 most significant) -> string."""
+    codes = [(value >> (2 * (k - 1 - j))) & 3 for j in range(k)]
+    return decode_codes(np.array(codes, dtype=np.uint8))
+
+
+def string_to_kmer(s: str) -> int:
+    """ACTG string -> 2k-bit packed integer."""
+    v = 0
+    for ch in s:
+        c = int(_LUT[ord(ch)])
+        if c > 3:
+            raise ValueError(f"invalid base {ch!r}")
+        v = (v << 2) | c
+    return v
+
+
+def revcomp_value(value: int, k: int) -> int:
+    """Reverse complement of a packed k-mer value (python int, any k)."""
+    rc = 0
+    for _ in range(k):
+        rc = (rc << 2) | ((value & 3) ^ 2)
+        value >>= 2
+    return rc
+
+
+def canonical_value(value: int, k: int) -> int:
+    return min(value, revcomp_value(value, k))
+
+
+def value_to_words(value: int, k: int) -> np.ndarray:
+    """Packed integer -> W uint32 words, word 0 most significant.
+
+    Big-endian word order means lexicographic comparison of the word
+    vectors equals integer comparison of the 2k-bit values — this is what
+    lets the device sort multi-word k-mers with lax.sort(num_keys=W).
+    """
+    w = words_per_kmer(k)
+    out = np.empty(w, dtype=np.uint32)
+    for i in range(w - 1, -1, -1):
+        out[i] = value & 0xFFFFFFFF
+        value >>= 32
+    return out
+
+
+def words_to_value(words: np.ndarray) -> int:
+    v = 0
+    for wd in np.asarray(words).ravel():
+        v = (v << 32) | int(wd)
+    return v
+
+
+def canonical_windows(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All valid canonical k-mers of one encoded sequence (host reference impl).
+
+    Returns (values, valid) where values is an object/uint64 array of the
+    canonical packed value for each window start position and valid is a
+    bool array (window lies fully inside a run of valid bases).
+
+    For k <= 32 this is vectorized numpy on uint64; for larger k it falls
+    back to python ints (used only by tests / the oracle on small data).
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    if n < k:
+        return np.empty(0, dtype=object), np.empty(0, dtype=bool)
+    nw = n - k + 1
+    is_valid = codes <= 3
+    # window valid iff no invalid base inside: prefix-sum trick
+    bad = (~is_valid).astype(np.int64)
+    cbad = np.concatenate([[0], np.cumsum(bad)])
+    valid = (cbad[k:] - cbad[:-k]) == 0
+
+    codes_i = np.where(is_valid, codes, 0).astype(np.uint64)
+    if k <= 32:
+        fwd = np.zeros(nw, dtype=np.uint64)
+        rc = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            win = codes_i[j : nw + j]
+            fwd |= win << np.uint64(2 * (k - 1 - j))
+            rc |= (win ^ np.uint64(2)) << np.uint64(2 * j)
+        return np.minimum(fwd, rc), valid
+    # large-k slow path (python ints)
+    vals = np.empty(nw, dtype=object)
+    for i in range(nw):
+        if not valid[i]:
+            vals[i] = 0
+            continue
+        f = 0
+        for j in range(k):
+            f = (f << 2) | int(codes_i[i + j])
+        vals[i] = canonical_value(f, k)
+    return vals, valid

@@ -1,0 +1,36 @@
+"""Test config: run everything on a simulated 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via XLA's host
+platform device-count override (SURVEY.md section 4.5).  Must be set
+before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+DATA = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> pathlib.Path:
+    return DATA
+
+
+def load_histo_fixture(path) -> dict[int, int]:
+    """Parse a reference .histo fixture: '<abundance>\\t<count>' lines."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            a, c = line.split()
+            out[int(a)] = int(c)
+    return out

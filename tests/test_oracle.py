@@ -1,0 +1,103 @@
+"""Oracle vs the reference's golden fixtures.
+
+These tests convert the reference's end-to-end golden files
+(test/k27.histo, rlong.histo, readN.histo, short.parse_results —
+see SURVEY.md section 4) into validation of our trusted host oracle,
+which then serves as the generative oracle for the device pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from dsk_tpu import oracle
+from dsk_tpu.kmer import codec
+from tests.conftest import load_histo_fixture
+
+
+def assert_histo_matches(counts, fixture_path):
+    expected = load_histo_fixture(fixture_path)
+    hist = oracle.histogram(counts, nb_bins=10000)
+    got = {a: int(hist[a]) for a in range(1, 10001)}
+    assert got == expected
+
+
+def test_k27_single_gz(data_dir):
+    # reference: scripts/simple_test.sh:36-39
+    counts = oracle.count_bank(str(data_dir / "read50x_ref10K_e001.fasta.gz"), k=27)
+    assert_histo_matches(counts, data_dir / "k27.histo")
+
+
+def test_k27_multifile_comma_list(data_dir):
+    # reference: scripts/simple_test.sh:52-55 — same histogram as single file
+    uri = ",".join(str(data_dir / f"c{i}.fasta.gz") for i in range(1, 5))
+    counts = oracle.count_bank(uri, k=27)
+    assert_histo_matches(counts, data_dir / "k27.histo")
+
+
+def test_long_reads(data_dir):
+    # reference: scripts/simple_test.sh:70-73
+    counts = oracle.count_bank(str(data_dir / "longread.fasta"), k=27)
+    assert_histo_matches(counts, data_dir / "rlong.histo")
+
+
+def test_reads_with_N(data_dir):
+    # reference: scripts/simple_test.sh:122-125 — split-at-N semantics:
+    # one distinct kmer (AA...A, k=20) with abundance 152
+    counts = oracle.count_bank(str(data_dir / "readN.fasta"), k=20)
+    assert_histo_matches(counts, data_dir / "readN.histo")
+    assert len(counts) == 1
+    assert list(counts.values()) == [152]
+
+
+def test_k_equals_readlen(data_dir):
+    # reference: scripts/simple_test.sh:88-91 — k=15, abundance-min=1
+    counts = oracle.count_bank(str(data_dir / "shortread.fasta"), k=15)
+    solid = oracle.solid_counts(counts, abundance_min=1)
+    lines = oracle.dump_text(solid, k=15)
+    with open(data_dir / "short.parse_results") as f:
+        expected = [ln.strip() for ln in f if ln.strip()]
+    assert lines == expected
+
+
+def test_k_gt_readlen_yields_nothing(data_dir):
+    # reference: scripts/simple_test.sh:106-112
+    counts = oracle.count_bank(str(data_dir / "shortread.fasta"), k=16)
+    assert counts == {}
+
+
+def test_iupac_invalid_chars(data_dir):
+    # reference: test/IUPAC.fasta — R/Y/M/W are invalid, split like N
+    counts = oracle.count_bank(str(data_dir / "IUPAC.fasta"), k=21)
+    # only the 22bp A...AY read (one A^21 kmer) and the final A^21+W read
+    # contribute; every kmer is AAAAAAAAAAAAAAAAAAAAA
+    assert len(counts) == 1
+    (v, a), = counts.items()
+    assert codec.kmer_to_string(v, 21) == "A" * 21
+    assert a == 2
+
+
+def test_canonical_gta_tac():
+    # reference: README.md:112 — canonical of GTA/TAC is TAC under A<C<T<G
+    v = codec.string_to_kmer("GTA")
+    assert codec.kmer_to_string(codec.canonical_value(v, 3), 3) == "TAC"
+
+
+def test_revcomp_roundtrip():
+    rng = np.random.default_rng(0)
+    for k in (1, 4, 15, 31, 32, 33, 63):
+        s = "".join(rng.choice(list("ACGT"), size=k))
+        v = codec.string_to_kmer(s)
+        rc = codec.revcomp_value(v, k)
+        assert codec.revcomp_value(rc, k) == v
+        # words round trip
+        assert codec.words_to_value(codec.value_to_words(v, k)) == v
+
+
+def test_album_bank(tmp_path, data_dir):
+    # file-of-filenames (reference README.md:60-61, test/file_index)
+    album = tmp_path / "album.txt"
+    album.write_text(
+        "\n".join(str(data_dir / f"c{i}.fasta.gz") for i in range(1, 5)) + "\n"
+    )
+    counts = oracle.count_bank(str(album), k=27)
+    assert_histo_matches(counts, data_dir / "k27.histo")
