@@ -1,0 +1,164 @@
+"""Single-chip counting engine: batches in, (kmer, abundance) table out.
+
+The TPU re-design of the reference's SortingCountAlgorithm (SURVEY.md C1):
+the disk partition files become a device-resident accumulation buffer; the
+per-partition radix sort + run-length count becomes sort + segment-reduce
+(dsk_tpu.kmer.device.sum_by_key); the count-processor chain (histogram,
+solidity filter, dump) runs over the final device table.
+
+Orchestration is host-driven (like the reference's pass loop) but all
+per-base / per-kmer work happens on device under jit with static shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsk_tpu.io.bank import Bank, open_bank
+from dsk_tpu.io.batch import batch_iterator
+from dsk_tpu.kmer import codec
+from dsk_tpu.kmer.device import (
+    SENTINEL,
+    extract_canonical,
+    histogram_from_counts,
+    sum_by_key,
+)
+
+
+def _round_up_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+@jax.jit
+def _merge_flush(words: jax.Array, weights: jax.Array):
+    return sum_by_key(words, weights)
+
+
+@dataclass
+class CountResult:
+    """Final count table + histogram (host numpy)."""
+
+    k: int
+    kmers: np.ndarray      # (n, W) uint32, sorted ascending (A<C<T<G order)
+    counts: np.ndarray     # (n,) int32 abundances (all distinct kmers)
+    histogram: np.ndarray  # (nb_bins+1,) int64, index = abundance (clipped)
+
+    @property
+    def n_distinct(self) -> int:
+        return int(self.kmers.shape[0])
+
+    def solid(self, abundance_min: int = 2, abundance_max: int = 2**31 - 1):
+        """(kmers, counts) filtered to the solid range (reference README.md:12)."""
+        m = (self.counts >= abundance_min) & (self.counts <= abundance_max)
+        return self.kmers[m], self.counts[m]
+
+    def items(self):
+        """Iterate (python-int packed kmer value, abundance)."""
+        for row, a in zip(self.kmers, self.counts):
+            yield codec.words_to_value(row), int(a)
+
+    def dump_text(self, abundance_min: int = 2, abundance_max: int = 2**31 - 1):
+        """Sorted '<KMER> <count>' lines (dsk2ascii-equivalent form)."""
+        km, ct = self.solid(abundance_min, abundance_max)
+        return [
+            f"{codec.kmer_to_string(codec.words_to_value(row), self.k)} {int(a)}"
+            for row, a in zip(km, ct)
+        ]
+
+
+class CountEngine:
+    """Canonical k-mer counter over one device (multi-chip in dsk_tpu.dist).
+
+    flush_items bounds the device sort size (the analog of the reference's
+    per-partition memory bound, doc/paper.tex:66-67): raw windows accumulate
+    until the buffer would exceed it, then are sorted/merged into the
+    running distinct-kmer table.
+    """
+
+    def __init__(
+        self,
+        k: int,
+        batch_rows: int = 1024,
+        row_len: int = 256,
+        flush_items: int = 1 << 22,
+        nb_bins: int = 10000,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.W = codec.words_per_kmer(k)
+        self.batch_rows = batch_rows
+        self.row_len = max(row_len, k)
+        self.flush_items = flush_items
+        self.nb_bins = nb_bins
+
+    def count(self, bank: Bank | str) -> CountResult:
+        if isinstance(bank, str):
+            bank = open_bank(bank)
+        k, W = self.k, self.W
+
+        table_words: jax.Array | None = None  # (C, W) uint32 sentinel-padded
+        table_counts: jax.Array | None = None
+        pending: list[tuple[jax.Array, jax.Array]] = []
+        pending_items = 0
+
+        def flush():
+            nonlocal table_words, table_counts, pending, pending_items
+            if not pending and table_words is None:
+                return
+            parts_w = [w for w, _ in pending]
+            parts_c = [c for _, c in pending]
+            if table_words is not None:
+                parts_w.append(table_words)
+                parts_c.append(table_counts)
+            total = sum(p.shape[0] for p in parts_w)
+            cap = _round_up_pow2(total)
+            words = jnp.concatenate(
+                parts_w + [jnp.full((cap - total, W), SENTINEL)], axis=0
+            )
+            weights = jnp.concatenate(
+                parts_c + [jnp.zeros(cap - total, jnp.int32)], axis=0
+            )
+            uniq, counts, n_uniq = _merge_flush(words, weights)
+            n = int(n_uniq)
+            c = _round_up_pow2(max(n, 1))
+            table_words = uniq[:c]
+            table_counts = counts[:c]
+            pending = []
+            pending_items = 0
+
+        for batch in batch_iterator(bank, k, self.batch_rows, self.row_len):
+            words, valid = extract_canonical(jnp.asarray(batch.codes), k)
+            B, nw, _ = words.shape
+            flat = words.reshape(B * nw, W)
+            weights = valid.reshape(B * nw).astype(jnp.int32)
+            pending.append((flat, weights))
+            pending_items += flat.shape[0]
+            if pending_items >= self.flush_items:
+                flush()
+        flush()
+
+        if table_words is None:
+            return CountResult(
+                k=k,
+                kmers=np.empty((0, W), np.uint32),
+                counts=np.empty((0,), np.int32),
+                histogram=np.zeros(self.nb_bins + 1, np.int64),
+            )
+
+        n = int(jnp.sum(table_counts > 0))
+        hist = histogram_from_counts(
+            table_counts, jnp.int32(n), nb_bins=self.nb_bins
+        )
+        kmers = np.asarray(table_words[:n])
+        counts = np.asarray(table_counts[:n])
+        return CountResult(
+            k=k,
+            kmers=kmers,
+            counts=counts,
+            histogram=np.asarray(hist, dtype=np.int64),
+        )

@@ -1,0 +1,153 @@
+"""Device-side (jnp) k-mer extraction and counting primitives.
+
+The reference's per-base rolling extraction loop (gatb ModelCanonical,
+SURVEY.md C2, HOT LOOP #1) and per-partition radix-sort/count (SURVEY.md C4,
+HOT LOOPS #2-3) re-designed for TPU:
+
+  * reads live on device as (B, L) uint8 code tensors (0..3 valid, >=4
+    invalid/pad),
+  * k-mers are W x uint32 words, word 0 most significant, so lexicographic
+    word comparison == integer comparison of the 2k-bit value (the gatb
+    LargeInt<N> analog, SURVEY.md C3; W is a static "span" dispatched at
+    trace time exactly like the reference's KSIZE_LIST template dispatch,
+    src/DSK.cpp:103),
+  * window extraction is a static unrolled sweep of k shifted adds over the
+    whole batch — every lane of the VPU does one window position (the
+    thread-pool-over-reads of the reference becomes pure data parallelism),
+  * counting is sort + segment-reduce: lax.sort over the W key words, run
+    boundaries, segment_sum of weights.  Sentinel rows (all-ones words)
+    sort to the end; all-ones is never a canonical k-mer (canonical(G^k)
+    = C^k < G^k), so the sentinel cannot collide.
+
+Everything is shape-static and jit-friendly; no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dsk_tpu.kmer.codec import words_per_kmer
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _mask_word0(k: int, w: int) -> int:
+    """Bit mask of the most-significant word (unused high bits are zero)."""
+    used = 2 * k - 32 * (w - 1)
+    return (1 << used) - 1 if used < 32 else 0xFFFFFFFF
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_canonical(batch: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """All canonical k-mer windows of a (B, L) uint8 code batch.
+
+    Returns (words, valid):
+      words: (B, L-k+1, W) uint32 — canonical packed k-mer per window start,
+             sentinel rows where invalid
+      valid: (B, L-k+1) bool — window fully inside a run of valid bases
+
+    Mirrors the semantics of the reference's rolling ModelCanonical codes
+    (split at invalid bases), but as k static shifted adds over the batch
+    instead of a sequential per-base loop.
+    """
+    if batch.ndim != 2:
+        raise ValueError(f"batch must be (B, L), got {batch.shape}")
+    B, L = batch.shape
+    if L < k:
+        raise ValueError(f"row length {L} < k={k}")
+    W = words_per_kmer(k)
+    nw = L - k + 1
+
+    is_valid = batch <= 3
+    codes = jnp.where(is_valid, batch, 0).astype(jnp.uint32)
+
+    # window validity via prefix sums of invalid flags
+    bad = (~is_valid).astype(jnp.int32)
+    cbad = jnp.cumsum(bad, axis=1)
+    cbad0 = jnp.pad(cbad, ((0, 0), (1, 0)))
+    valid = (cbad0[:, k:] - cbad0[:, :-k]) == 0  # (B, nw)
+
+    fwd = [jnp.zeros((B, nw), jnp.uint32) for _ in range(W)]
+    rc = [jnp.zeros((B, nw), jnp.uint32) for _ in range(W)]
+    for j in range(k):
+        base = codes[:, j : j + nw]
+        # forward: base j sits at global bit 2*(k-1-j) (2-bit units never
+        # straddle 32-bit words since bit positions are even)
+        p = 2 * (k - 1 - j)
+        fwd[W - 1 - p // 32] |= base << (p % 32)
+        # revcomp: complemented base j sits at global bit 2*j
+        q = 2 * j
+        rc[W - 1 - q // 32] |= (base ^ 2) << (q % 32)
+
+    # canonical = lexicographic (== integer) min of fwd vs rc
+    lt = jnp.zeros((B, nw), jnp.bool_)
+    eq = jnp.ones((B, nw), jnp.bool_)
+    for w in range(W):
+        lt = lt | (eq & (fwd[w] < rc[w]))
+        eq = eq & (fwd[w] == rc[w])
+    canon = [jnp.where(lt | eq, fwd[w], rc[w]) for w in range(W)]
+    canon = [jnp.where(valid, cw, SENTINEL) for cw in canon]
+    return jnp.stack(canon, axis=-1), valid
+
+
+def sum_by_key(words: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Group-by-key sum: the TPU replacement for DSK's per-partition
+    radix-sort + run-length scan (SURVEY.md C4).
+
+    words:   (N, W) uint32 keys (sentinel rows allowed)
+    weights: (N,)   int32 per-row weight (0 for sentinel/padding rows)
+
+    Returns (uniq, counts, n_uniq):
+      uniq:   (N, W) uint32 — distinct keys in sorted order, sentinel-padded
+      counts: (N,)   int32  — total weight per distinct key
+      n_uniq: ()     int32  — number of distinct non-sentinel keys
+    """
+    N, W = words.shape
+    ops = tuple(words[:, w] for w in range(W)) + (weights.astype(jnp.int32),)
+    sorted_ops = jax.lax.sort(ops, num_keys=W)
+    skeys = sorted_ops[:W]
+    sweights = sorted_ops[W]
+
+    is_new = jnp.zeros((N,), jnp.bool_).at[0].set(True)
+    neq = jnp.zeros((N - 1,), jnp.bool_)
+    for w in range(W):
+        neq = neq | (skeys[w][1:] != skeys[w][:-1])
+    is_new = is_new.at[1:].set(neq)
+    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+
+    counts = jax.ops.segment_sum(sweights, seg_id, num_segments=N).astype(jnp.int32)
+    uniq = jnp.full((N, W), SENTINEL)
+    for w in range(W):
+        uniq = uniq.at[:, w].set(
+            jnp.full((N,), SENTINEL).at[seg_id].set(skeys[w])
+        )
+    n_segments = seg_id[-1] + 1
+    last_is_sentinel = uniq[n_segments - 1, 0] == SENTINEL
+    n_uniq = n_segments - last_is_sentinel.astype(jnp.int32)
+    return uniq, counts, n_uniq
+
+
+def count_batch_windows(batch: jax.Array, k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(B, L) code batch -> distinct canonical kmers + abundances (one shot)."""
+    words, valid = extract_canonical(batch, k)
+    B, nw, W = words.shape
+    flat = words.reshape(B * nw, W)
+    weights = valid.reshape(B * nw).astype(jnp.int32)
+    return sum_by_key(flat, weights)
+
+
+def histogram_from_counts(
+    counts: jax.Array, n_uniq: jax.Array, nb_bins: int = 10000
+) -> jax.Array:
+    """hist[a] = #distinct kmers with abundance a, a in 1..nb_bins (clipped).
+
+    Matches the reference's 10,000-bin histogram-over-all-distinct-kmers
+    (fixture test/k27.histo; SURVEY.md C7/C12).  Index 0 is unused.
+    """
+    N = counts.shape[0]
+    mask = jnp.arange(N) < n_uniq
+    bins = jnp.where(mask, jnp.clip(counts, 1, nb_bins), 0)
+    return jnp.zeros(nb_bins + 1, jnp.int32).at[bins].add(mask.astype(jnp.int32)).at[0].set(0)
