@@ -1,0 +1,92 @@
+"""`dsk` CLI: count canonical k-mers into an HDF5 store.
+
+Replaces the reference's dsk tool (src/main.cpp, src/DSK.cpp).  The
+options are owned by the engine layer (RunParams) and merely surfaced
+here — the same composition design as the reference, where the Tool's
+parser IS SortingCountAlgorithm::getOptionsParser() (src/DSK.cpp:83-86).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from dsk_tpu.engine.run import RunParams, execute
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dsk",
+        description="TPU-native k-mer counter (dsk-compatible CLI)",
+        prefix_chars="-",
+        add_help=False,
+    )
+    p.add_argument("-help", "--help", action="help")
+    p.add_argument("-version", action="version", version="dsk_tpu 0.1.0")
+    req = p.add_argument_group("required")
+    req.add_argument("-file", required=True,
+                     help="input file(s): fasta/fastq(.gz), comma list, or album file")
+    req.add_argument("-kmer-size", dest="kmer_size", type=int, default=31,
+                     help="size of a kmer (default 31)")
+    opt = p.add_argument_group("options")
+    opt.add_argument("-abundance-min", dest="abundance_min", type=int, default=2,
+                     help="min abundance threshold for solid kmers (default 2)")
+    opt.add_argument("-abundance-max", dest="abundance_max", type=int,
+                     default=2**31 - 1, help="max abundance threshold")
+    opt.add_argument("-solidity-kind", dest="solidity_kind", default="sum",
+                     choices=["sum", "min", "max", "one", "all", "custom"],
+                     help="way to compute kmer solidity over multiple banks")
+    opt.add_argument("-solidity-custom", dest="solidity_custom", default=None,
+                     help="0/1 list over banks: kmers solid in exactly that subset")
+    opt.add_argument("-out", default=None, help="output file prefix")
+    opt.add_argument("-out-dir", dest="out_dir", default=".",
+                     help="output directory")
+    opt.add_argument("-out-tmp", dest="out_tmp", default=None,
+                     help="directory for temporary (spill) files")
+    opt.add_argument("-max-memory", dest="max_memory", type=int, default=5000,
+                     help="max memory in MBytes (device table budget)")
+    opt.add_argument("-max-disk", dest="max_disk", type=int, default=0,
+                     help="max spill space in MBytes (0 = auto)")
+    opt.add_argument("-histo-max", dest="histo_max", type=int, default=10000,
+                     help="max abundance bin in the histogram (default 10000)")
+    opt.add_argument("-histo", type=int, default=0,
+                     help="output the abundance histogram as a .histo text file")
+    opt.add_argument("-histo2D", dest="histo2d", type=int, default=0,
+                     help="output the 2D assembly-vs-reads abundance matrix "
+                          "(assembly must be the FIRST input file)")
+    opt.add_argument("-nb-cores", dest="nb_cores", type=int, default=0,
+                     help="number of host pipeline cores (0 = all)")
+    opt.add_argument("-verbose", type=int, default=1, help="verbosity level")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    params = RunParams(
+        file=args.file,
+        kmer_size=args.kmer_size,
+        abundance_min=args.abundance_min,
+        abundance_max=args.abundance_max,
+        solidity_kind=args.solidity_kind,
+        solidity_custom=args.solidity_custom,
+        out=args.out,
+        out_dir=args.out_dir,
+        out_tmp=args.out_tmp,
+        max_memory=args.max_memory,
+        max_disk=args.max_disk,
+        histo_max=args.histo_max,
+        histo=bool(args.histo),
+        histo2d=bool(args.histo2d),
+        nb_cores=args.nb_cores,
+        verbose=args.verbose,
+    )
+    try:
+        execute(params)
+    except (ValueError, FileNotFoundError, RuntimeError) as e:
+        print(f"dsk: error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

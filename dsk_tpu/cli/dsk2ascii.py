@@ -1,0 +1,55 @@
+"""`dsk2ascii` CLI: dump an HDF5 count store as text.
+
+Replaces the reference's dsk2ascii tool (utils/dsk2ascii.cpp): re-opens
+the store, reads kmer_size from the dsk group, iterates solid partitions
+in order, prints '<KMER> <count>' lines (or -fasta / -fastq shapes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from dsk_tpu.store import text as store_text
+from dsk_tpu.store.hdf5 import OutputStore
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dsk2ascii",
+        description="dump dsk_tpu HDF5 output as text",
+        add_help=False,
+    )
+    p.add_argument("-help", "--help", action="help")
+    p.add_argument("-file", required=True, help="input .h5 count store")
+    p.add_argument("-out", default=None, help="output text file (default stdout)")
+    p.add_argument("-fasta", action="store_true", help="fasta-shaped output")
+    p.add_argument("-fastq", action="store_true", help="fastq-shaped output")
+    p.add_argument("-c", dest="stdout", action="store_true",
+                   help="force output to stdout")
+    p.add_argument("-verbose", type=int, default=1)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        store = OutputStore.load(args.file)
+    except (OSError, KeyError) as e:
+        print(f"dsk2ascii: error: cannot open {args.file}: {e}", file=sys.stderr)
+        return 1
+    try:
+        if args.out and not args.stdout:
+            with open(args.out, "w") as f:
+                n = store_text.dump_ascii(store, f, args.fasta, args.fastq)
+        else:
+            n = store_text.dump_ascii(store, sys.stdout, args.fasta, args.fastq)
+        if args.verbose and args.out:
+            print(f"dsk2ascii: wrote {n} kmers -> {args.out}", file=sys.stderr)
+    finally:
+        store.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,7 +4,13 @@ The TPU re-design of the reference's SortingCountAlgorithm (SURVEY.md C1):
 the disk partition files become a device-resident accumulation buffer; the
 per-partition radix sort + run-length count becomes sort + segment-reduce
 (dsk_tpu.kmer.device.sum_by_key); the count-processor chain (histogram,
-solidity filter, dump) runs over the final device table.
+solidity filter, dump) runs over the final device table
+(dsk_tpu.engine.processors).
+
+Multi-bank mode (needed by -solidity-kind and -histo2D, SURVEY.md C7)
+appends the sub-bank id as an extra least-significant sort key word, so
+the running table lives in (kmer, bank) space and is grouped into per-bank
+abundance vectors at finalization.
 
 Orchestration is host-driven (like the reference's pass loop) but all
 per-base / per-kmer work happens on device under jit with static shapes.
@@ -12,19 +18,19 @@ per-base / per-kmer work happens on device under jit with static shapes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsk_tpu.engine import processors
 from dsk_tpu.io.bank import Bank, open_bank
 from dsk_tpu.io.batch import batch_iterator
 from dsk_tpu.kmer import codec
 from dsk_tpu.kmer.device import (
     SENTINEL,
     extract_canonical,
-    histogram_from_counts,
     sum_by_key,
 )
 
@@ -44,16 +50,28 @@ class CountResult:
 
     k: int
     kmers: np.ndarray      # (n, W) uint32, sorted ascending (A<C<T<G order)
-    counts: np.ndarray     # (n,) int32 abundances (all distinct kmers)
+    counts: np.ndarray     # (n,) int32 total abundances (all distinct kmers)
     histogram: np.ndarray  # (nb_bins+1,) int64, index = abundance (clipped)
+    bank_counts: np.ndarray | None = None  # (n, nb_banks) per-bank abundance
+    info: dict = field(default_factory=dict)
 
     @property
     def n_distinct(self) -> int:
         return int(self.kmers.shape[0])
 
-    def solid(self, abundance_min: int = 2, abundance_max: int = 2**31 - 1):
-        """(kmers, counts) filtered to the solid range (reference README.md:12)."""
-        m = (self.counts >= abundance_min) & (self.counts <= abundance_max)
+    def solid(
+        self,
+        abundance_min: int = 2,
+        abundance_max: int = 2**31 - 1,
+        kind: str = "sum",
+        custom=None,
+    ):
+        """(kmers, counts) filtered by the solidity rule (reference
+        README.md:12; kinds per SURVEY.md C7)."""
+        m = processors.solidity_mask(
+            self.counts, kind, abundance_min, abundance_max,
+            bank_counts=self.bank_counts, custom=custom,
+        )
         return self.kmers[m], self.counts[m]
 
     def items(self):
@@ -96,15 +114,21 @@ class CountEngine:
         self.flush_items = flush_items
         self.nb_bins = nb_bins
 
-    def count(self, bank: Bank | str) -> CountResult:
+    def count(self, bank: Bank | str, per_bank: bool = False) -> CountResult:
         if isinstance(bank, str):
             bank = open_bank(bank)
         k, W = self.k, self.W
+        # per-bank mode: bank id rides as an extra least-significant key word
+        nb_banks = bank.nb_banks
+        per_bank = per_bank and nb_banks > 1
+        WK = W + 1 if per_bank else W
 
-        table_words: jax.Array | None = None  # (C, W) uint32 sentinel-padded
+        table_words: jax.Array | None = None  # (C, WK) uint32 sentinel-padded
         table_counts: jax.Array | None = None
         pending: list[tuple[jax.Array, jax.Array]] = []
         pending_items = 0
+        n_bases = 0
+        n_reads = 0
 
         def flush():
             nonlocal table_words, table_counts, pending, pending_items
@@ -118,7 +142,7 @@ class CountEngine:
             total = sum(p.shape[0] for p in parts_w)
             cap = _round_up_pow2(total)
             words = jnp.concatenate(
-                parts_w + [jnp.full((cap - total, W), SENTINEL)], axis=0
+                parts_w + [jnp.full((cap - total, WK), SENTINEL)], axis=0
             )
             weights = jnp.concatenate(
                 parts_c + [jnp.zeros(cap - total, jnp.int32)], axis=0
@@ -136,29 +160,72 @@ class CountEngine:
             B, nw, _ = words.shape
             flat = words.reshape(B * nw, W)
             weights = valid.reshape(B * nw).astype(jnp.int32)
+            if per_bank:
+                bank_col = jnp.repeat(
+                    jnp.asarray(batch.bank_ids, jnp.uint32), nw
+                ).reshape(B * nw, 1)
+                bank_col = jnp.where(weights[:, None] > 0, bank_col, SENTINEL)
+                flat = jnp.concatenate([flat, bank_col], axis=1)
             pending.append((flat, weights))
             pending_items += flat.shape[0]
+            n_bases += int(batch.n_bases)
+            n_reads += int(batch.n_reads)
             if pending_items >= self.flush_items:
                 flush()
         flush()
 
+        info = {"n_bases": n_bases, "n_reads": n_reads, "nb_banks": nb_banks}
         if table_words is None:
             return CountResult(
                 k=k,
                 kmers=np.empty((0, W), np.uint32),
                 counts=np.empty((0,), np.int32),
                 histogram=np.zeros(self.nb_bins + 1, np.int64),
+                bank_counts=np.zeros((0, nb_banks), np.int64) if per_bank else None,
+                info=info,
             )
 
         n = int(jnp.sum(table_counts > 0))
-        hist = histogram_from_counts(
-            table_counts, jnp.int32(n), nb_bins=self.nb_bins
-        )
-        kmers = np.asarray(table_words[:n])
-        counts = np.asarray(table_counts[:n])
+        rows = np.asarray(table_words[:n])
+        row_counts = np.asarray(table_counts[:n])
+
+        if per_bank:
+            kmers, counts, bank_mat = _group_by_kmer(
+                rows, row_counts, W, nb_banks
+            )
+        else:
+            kmers, counts, bank_mat = rows, row_counts, None
+
+        hist = processors.histogram(counts, self.nb_bins)
         return CountResult(
             k=k,
             kmers=kmers,
-            counts=counts,
-            histogram=np.asarray(hist, dtype=np.int64),
+            counts=counts.astype(np.int32),
+            histogram=hist,
+            bank_counts=bank_mat,
+            info=info,
         )
+
+
+def _group_by_kmer(
+    rows: np.ndarray, row_counts: np.ndarray, W: int, nb_banks: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse a sorted (kmer_words..., bank_id) table into distinct kmers
+    with total + per-bank abundance (host-side finalization of per-bank mode)."""
+    if rows.shape[0] == 0:
+        return (
+            np.empty((0, W), np.uint32),
+            np.empty((0,), np.int64),
+            np.zeros((0, nb_banks), np.int64),
+        )
+    keys = rows[:, :W]
+    banks = rows[:, W].astype(np.int64)
+    is_new = np.ones(rows.shape[0], dtype=bool)
+    is_new[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    seg = np.cumsum(is_new) - 1
+    n_kmers = int(seg[-1]) + 1
+    kmers = keys[is_new]
+    bank_mat = np.zeros((n_kmers, nb_banks), dtype=np.int64)
+    np.add.at(bank_mat, (seg, banks), row_counts.astype(np.int64))
+    counts = bank_mat.sum(axis=1)
+    return kmers, counts, bank_mat

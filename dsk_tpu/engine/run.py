@@ -1,0 +1,177 @@
+"""End-to-end counting run: bank -> count -> processors -> output store.
+
+The orchestration performed by the reference's DSK tool + SortingCount
+execute() (src/DSK.cpp:45-70): open the bank, run the engine, apply the
+count-processor chain (histogram / solidity / dump), write the HDF5
+store with run-info, and optionally emit -histo / -histo2D text files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from dsk_tpu.engine import processors
+from dsk_tpu.engine.counter import CountEngine, CountResult
+from dsk_tpu.io.bank import open_bank
+from dsk_tpu.store import text as store_text
+from dsk_tpu.store.hdf5 import OutputStore
+from dsk_tpu.utils.timeinfo import Progress, TimeInfo
+
+
+@dataclass
+class RunParams:
+    """The engine-owned config schema (the reference's design: the algorithm
+    layer defines its options and the CLI composes them, SURVEY.md 5.6).
+
+    Field names mirror the dsk CLI surface (SURVEY.md section 2.2)."""
+
+    file: str
+    kmer_size: int = 31
+    abundance_min: int = 2
+    abundance_max: int = 2**31 - 1
+    solidity_kind: str = "sum"
+    solidity_custom: str | None = None  # e.g. "1,0,1"
+    out: str | None = None
+    out_dir: str = "."
+    out_tmp: str | None = None
+    max_memory: int = 5000   # MB, device table budget (planner input)
+    max_disk: int = 0        # MB, 0 = auto (host spill budget)
+    histo_max: int = 10000
+    histo: bool = False
+    histo2d: bool = False
+    nb_cores: int = 0        # 0 = auto (host pipeline workers)
+    verbose: int = 1
+    batch_rows: int = 1024
+    row_len: int = 256
+
+    def out_prefix(self) -> str:
+        if self.out:
+            base = self.out
+        else:
+            name = os.path.basename(self.file.split(",")[0])
+            for ext in (".gz", ".fasta", ".fa", ".fastq", ".fq", ".fna"):
+                if name.endswith(ext):
+                    name = name[: -len(ext)]
+            base = os.path.join(self.out_dir, name)
+        return base[:-3] if base.endswith(".h5") else base
+
+    def custom_vector(self, nb_banks: int) -> np.ndarray | None:
+        if not self.solidity_custom:
+            return None
+        vec = np.array(
+            [int(x) for x in self.solidity_custom.replace(",", " ").split()],
+            dtype=np.int64,
+        )
+        if vec.shape[0] != nb_banks:
+            raise ValueError(
+                f"-solidity-custom has {vec.shape[0]} entries for {nb_banks} banks"
+            )
+        return vec
+
+
+@dataclass
+class RunOutput:
+    params: RunParams
+    result: CountResult
+    h5_path: str
+    n_solid: int
+    histo_path: str | None = None
+    histo2d_path: str | None = None
+    info: dict = field(default_factory=dict)
+
+
+def execute(params: RunParams) -> RunOutput:
+    """Run a full count: the dsk tool in library form."""
+    progress = Progress(params.verbose)
+    timers = TimeInfo()
+    bank = open_bank(params.file)
+    k = params.kmer_size
+
+    need_per_bank = bank.nb_banks > 1 and (
+        params.histo2d
+        or params.solidity_kind != "sum"
+        or params.solidity_custom is not None
+    )
+
+    engine = CountEngine(
+        k,
+        batch_rows=params.batch_rows,
+        row_len=params.row_len,
+        nb_bins=params.histo_max,
+    )
+    progress.log(
+        f"[dsk_tpu] counting k={k} over {bank.nb_banks} bank(s): {params.file}"
+    )
+    with timers.phase("count"):
+        result = engine.count(bank, per_bank=need_per_bank)
+
+    custom = params.custom_vector(bank.nb_banks)
+    solid_mask = processors.solidity_mask(
+        result.counts,
+        params.solidity_kind if custom is None else "custom",
+        params.abundance_min,
+        params.abundance_max,
+        bank_counts=result.bank_counts,
+        custom=custom,
+    )
+    n_solid = int(solid_mask.sum())
+    progress.log(
+        f"[dsk_tpu] {result.n_distinct} distinct kmers, {n_solid} solid "
+        f"(abundance in [{params.abundance_min}, {params.abundance_max}])"
+    )
+
+    prefix = params.out_prefix()
+    os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
+    h5_path = prefix + ".h5"
+    with timers.phase("write"):
+        info = {
+            "kmer_size": k,
+            "abundance_min": params.abundance_min,
+            "abundance_max": params.abundance_max,
+            "solidity_kind": params.solidity_kind,
+            "input": params.file,
+            "nb_banks": bank.nb_banks,
+            "nb_distinct_kmers": result.n_distinct,
+            "nb_solid_kmers": n_solid,
+            **result.info,
+        }
+        with OutputStore.create(h5_path, k) as store:
+            store.write_solid_partition(
+                0, result.kmers[solid_mask], result.counts[solid_mask]
+            )
+            store.write_histogram(result.histogram)
+            info["time"] = timers.as_properties()
+            store.set_run_info(info)
+
+    histo_path = None
+    if params.histo:
+        histo_path = prefix + ".histo"
+        with open(histo_path, "w") as f:
+            store_text.write_histo(result.histogram, f)
+        progress.log(f"[dsk_tpu] histogram -> {histo_path}")
+
+    histo2d_path = None
+    if params.histo2d:
+        if result.bank_counts is None:
+            raise ValueError(
+                "-histo2D needs >= 2 input banks (assembly first, then reads)"
+            )
+        mat = processors.histo2d_matrix(result.bank_counts, params.histo_max)
+        histo2d_path = prefix + ".histo2D"
+        with open(histo2d_path, "w") as f:
+            store_text.write_histo2d(mat, f)
+        progress.log(f"[dsk_tpu] histo2D matrix -> {histo2d_path}")
+
+    progress.log(f"[dsk_tpu] output -> {h5_path}")
+    return RunOutput(
+        params=params,
+        result=result,
+        h5_path=h5_path,
+        n_solid=n_solid,
+        histo_path=histo_path,
+        histo2d_path=histo2d_path,
+        info=info,
+    )

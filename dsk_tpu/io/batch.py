@@ -26,6 +26,8 @@ class Batch:
     codes: np.ndarray     # (B, L) uint8, 0..3 valid, 0xFF pad/invalid
     bank_ids: np.ndarray  # (B,) int32 sub-bank index per row
     n_rows: int           # rows actually filled (rest are all-PAD)
+    n_bases: int = 0      # input bases consumed by this batch (pre-chunking)
+    n_reads: int = 0      # input reads consumed by this batch
 
 
 def chunk_codes(codes: np.ndarray, k: int, row_len: int) -> list[np.ndarray]:
@@ -54,18 +56,24 @@ def batch_iterator(
     buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
     bids = np.zeros(batch_rows, dtype=np.int32)
     row = 0
+    bases = 0
+    reads = 0
     for bank_id, seq in bank.iter_sequences():
         if len(seq.data) < k:
             continue
         codes = encode_bytes(seq.data)
+        bases += codes.shape[0]
+        reads += 1
         for chunk in chunk_codes(codes, k, row_len):
             buf[row, : chunk.shape[0]] = chunk
             bids[row] = bank_id
             row += 1
             if row == batch_rows:
-                yield Batch(buf, bids, row)
+                yield Batch(buf, bids, row, bases, reads)
                 buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
                 bids = np.zeros(batch_rows, dtype=np.int32)
                 row = 0
+                bases = 0
+                reads = 0
     if row > 0:
-        yield Batch(buf, bids, row)
+        yield Batch(buf, bids, row, bases, reads)

@@ -125,7 +125,12 @@ def sum_by_key(words: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Arr
             jnp.full((N,), SENTINEL).at[seg_id].set(skeys[w])
         )
     n_segments = seg_id[-1] + 1
-    last_is_sentinel = uniq[n_segments - 1, 0] == SENTINEL
+    # A real canonical kmer can have word0 == SENTINEL (e.g. a G^16 prefix
+    # when k is a multiple of 16) but never ALL words all-ones (canonical
+    # of G^k is C^k), so sentinel detection must check every word.
+    last_is_sentinel = jnp.bool_(True)
+    for w in range(W):
+        last_is_sentinel = last_is_sentinel & (uniq[n_segments - 1, w] == SENTINEL)
     n_uniq = n_segments - last_is_sentinel.astype(jnp.int32)
     return uniq, counts, n_uniq
 

@@ -1,0 +1,174 @@
+"""HDF5 output store: the durable, self-describing result container.
+
+The TPU framework's equivalent of gatb-core's StorageHDF5 (SURVEY.md C8;
+reference usage: src/DSK.hpp:48 `getStorageMode()=STORAGE_HDF5`,
+utils/dsk2ascii.cpp:31-77 re-open + iterate).  Same conceptual layout as
+the reference (README.md:77-78):
+
+  /dsk/solid/<i>         one dataset per partition, compound records
+                         {value: (W,) uint32 big-endian-word kmer,
+                          abundance: int32}
+  /histogram/histogram   compound {index: int64, abundance: int64} pairs
+  /dsk  attrs:           kmer_size, nb_words, xml (run-info XML string),
+                         json (run-info JSON string)
+
+The kmer word layout is the canonical device representation (word 0 most
+significant; dsk_tpu.kmer.codec.value_to_words), so stored bytes are
+directly comparable with device output and lexicographic word order ==
+the A<C<T<G kmer order.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+
+try:
+    import h5py
+
+    HAVE_H5PY = True
+except ImportError:  # pragma: no cover
+    h5py = None
+    HAVE_H5PY = False
+
+from dsk_tpu.kmer import codec
+
+
+def _count_dtype(w: int) -> np.dtype:
+    return np.dtype([("value", "<u4", (w,)), ("abundance", "<i4")])
+
+_HISTO_DTYPE = np.dtype([("index", "<i8"), ("abundance", "<i8")])
+
+
+def _props_to_xml(props: dict, root: str = "dsk") -> str:
+    """Flat properties dict -> small XML document (the reference persists its
+    run-info IProperties tree as an `xml` property, src/DSK.cpp:68)."""
+
+    def esc(s: str) -> str:
+        return (
+            str(s)
+            .replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    lines = [f"<{root}>"]
+    for key, value in props.items():
+        tag = str(key).strip().lstrip("-").replace(" ", "_") or "item"
+        if isinstance(value, dict):
+            lines.append(f"  <{tag}>")
+            for k2, v2 in value.items():
+                t2 = str(k2).strip().lstrip("-").replace(" ", "_") or "item"
+                lines.append(f"    <{t2}>{esc(v2)}</{t2}>")
+            lines.append(f"  </{tag}>")
+        else:
+            lines.append(f"  <{tag}>{esc(value)}</{tag}>")
+    lines.append(f"</{root}>")
+    return "\n".join(lines)
+
+
+class OutputStore:
+    """Create/load the HDF5 result container."""
+
+    def __init__(self, path: str, mode: str = "r"):
+        if not HAVE_H5PY:  # pragma: no cover
+            raise RuntimeError("h5py is required for the HDF5 store")
+        self.path = path
+        self._f = h5py.File(path, mode)
+
+    # -- writing ---------------------------------------------------------
+
+    @classmethod
+    def create(cls, path: str, k: int) -> "OutputStore":
+        store = cls(path, "w")
+        g = store._f.create_group("dsk")
+        g.attrs["kmer_size"] = str(k)  # string: parity with gatb property
+        g.attrs["nb_words"] = codec.words_per_kmer(k)
+        g.create_group("solid")
+        store._f.create_group("histogram")
+        return store
+
+    def write_solid_partition(
+        self, idx: int, kmers: np.ndarray, counts: np.ndarray
+    ) -> None:
+        """Append partition dataset dsk/solid/<idx> of (kmer, abundance)."""
+        w = int(self._f["dsk"].attrs["nb_words"])
+        rec = np.empty(kmers.shape[0], dtype=_count_dtype(w))
+        rec["value"] = np.asarray(kmers, dtype=np.uint32).reshape(-1, w)
+        rec["abundance"] = np.asarray(counts, dtype=np.int32)
+        self._f["dsk/solid"].create_dataset(str(idx), data=rec)
+
+    def write_histogram(self, hist: np.ndarray) -> None:
+        """hist indexed by abundance (index 0 unused) -> (index, count) pairs."""
+        nb = hist.shape[0] - 1
+        rec = np.empty(nb, dtype=_HISTO_DTYPE)
+        rec["index"] = np.arange(1, nb + 1)
+        rec["abundance"] = hist[1:]
+        self._f["histogram"].create_dataset("histogram", data=rec)
+
+    def set_run_info(self, props: dict) -> None:
+        """Persist the run-info tree as xml + json attrs on the dsk group
+        (reference: storage.getGroup("dsk").setProperty("xml", ...),
+        src/DSK.cpp:68)."""
+        self._f["dsk"].attrs["xml"] = _props_to_xml(props)
+        self._f["dsk"].attrs["json"] = json.dumps(props, default=str)
+
+    # -- reading ---------------------------------------------------------
+
+    @classmethod
+    def load(cls, path: str) -> "OutputStore":
+        return cls(path, "r")
+
+    @property
+    def kmer_size(self) -> int:
+        return int(self._f["dsk"].attrs["kmer_size"])
+
+    @property
+    def nb_words(self) -> int:
+        return int(self._f["dsk"].attrs["nb_words"])
+
+    @property
+    def nb_partitions(self) -> int:
+        return len(self._f["dsk/solid"])
+
+    def run_info(self) -> dict:
+        return json.loads(self._f["dsk"].attrs["json"])
+
+    def run_info_xml(self) -> str:
+        return str(self._f["dsk"].attrs["xml"])
+
+    def histogram(self) -> np.ndarray:
+        """Return hist indexed by abundance (index 0 zero)."""
+        rec = self._f["histogram/histogram"][:]
+        nb = rec.shape[0]
+        out = np.zeros(nb + 1, dtype=np.int64)
+        out[rec["index"]] = rec["abundance"]
+        return out
+
+    def iter_solid(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield (kmers (n,W) uint32, counts (n,) int32) per partition, in
+        partition order (the iteration order of dsk2ascii, SURVEY.md 3.2)."""
+        solid = self._f["dsk/solid"]
+        for name in sorted(solid, key=int):
+            rec = solid[name][:]
+            yield rec["value"], rec["abundance"]
+
+    def iter_items(self) -> Iterator[tuple[int, int]]:
+        """Yield (python-int packed kmer value, abundance) over all partitions."""
+        for kmers, counts in self.iter_solid():
+            for row, a in zip(kmers, counts):
+                yield codec.words_to_value(row), int(a)
+
+    def n_solid(self) -> int:
+        return sum(ds.shape[0] for ds in self._f["dsk/solid"].values())
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self) -> "OutputStore":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
