@@ -1,0 +1,100 @@
+"""Benchmark: sustained k-mer counting throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.json): bases/s/chip at k=31 through the full
+device pipeline (extract canonical windows -> sort -> segment-reduce ->
+running-table merge), on synthetic random reads resident in host memory
+(the host->device transfer is included; FASTA parsing is not — the CPU
+reference baseline 2.2 Mbases/s (doc/human_log, SURVEY.md section 6) is
+HDD-bound, ours is compute-bound).
+
+vs_baseline = bases/s divided by the reference's single-thread CPU figure
+(2.2e6 bases/s, derived in SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+CPU_BASELINE_BASES_PER_S = 2.2e6  # DSK 1-thread human-genome run, SURVEY.md §6
+
+
+GENOME_SIZE = 1 << 20  # 1 Mbase synthetic genome; reads sampled from it
+                       # (matches the shape of the read50x fixture: random
+                       # genome + uniform read sampling => bounded distinct
+                       # kmers, realistic duplicate structure)
+
+
+def make_batches(n_batches: int, rows: int, row_len: int, seed: int = 0):
+    from dsk_tpu.io.batch import Batch
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=GENOME_SIZE, dtype=np.uint8)
+    out = []
+    for _ in range(n_batches):
+        starts = rng.integers(0, GENOME_SIZE - row_len, size=rows)
+        codes = genome[starts[:, None] + np.arange(row_len)[None, :]]
+        out.append(
+            Batch(
+                codes=codes,
+                bank_ids=np.zeros(rows, np.int32),
+                n_rows=rows,
+                n_bases=int(codes.size),
+                n_reads=rows,
+            )
+        )
+    return out
+
+
+def main() -> None:
+    import jax
+
+    from dsk_tpu.dist.engine import DistCountEngine, default_mesh
+
+    k = 31
+    rows, row_len = 512, 1024
+    n_batches = 24
+
+    # the static-shape engine: all executables compile once during warmup
+    # (route / flush / hist shapes never change thereafter)
+    engine = DistCountEngine(
+        k,
+        mesh=default_mesh(),
+        batch_rows=rows,
+        row_len=row_len,
+        buf_batches=8,
+        table_cap=1 << 21,
+    )
+    warm = make_batches(2, rows, row_len, seed=99)
+    engine.count_stream(iter(warm))  # compile + warm caches
+
+    batches = make_batches(n_batches, rows, row_len, seed=0)
+    total_bases = sum(b.n_bases for b in batches)
+    t0 = time.perf_counter()
+    res = engine.count_stream(iter(batches))
+    elapsed = time.perf_counter() - t0
+
+    bases_per_s = total_bases / elapsed
+    result = {
+        "metric": "count_bases_per_s_per_chip_k31",
+        "value": round(bases_per_s, 1),
+        "unit": "bases/s",
+        "vs_baseline": round(bases_per_s / CPU_BASELINE_BASES_PER_S, 2),
+        "detail": {
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "total_bases": total_bases,
+            "elapsed_s": round(elapsed, 3),
+            "n_distinct": res.n_distinct,
+            "distinct_kmers_per_s": round(res.n_distinct / elapsed, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

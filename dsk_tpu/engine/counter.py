@@ -18,6 +18,7 @@ per-base / per-kmer work happens on device under jit with static shapes.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -31,6 +32,7 @@ from dsk_tpu.kmer import codec
 from dsk_tpu.kmer.device import (
     SENTINEL,
     extract_canonical,
+    pass_hash,
     sum_by_key,
 )
 
@@ -42,6 +44,32 @@ def _round_up_pow2(n: int) -> int:
 @jax.jit
 def _merge_flush(words: jax.Array, weights: jax.Array):
     return sum_by_key(words, weights)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_passes", "per_bank"))
+def prepare_batch(codes, bank_ids, pass_id, k, n_passes, per_bank):
+    """Fused per-batch device work: extract canonical windows, apply the
+    multi-pass hash filter (the reference's per-pass kmer selection,
+    doc/paper.tex:74: keep kmers with h(x) mod n_iters == pass), and attach
+    the bank-id key column for per-bank mode.
+
+    Filtered-out rows become full sentinel rows (words AND weight) so they
+    can never occupy distinct-table capacity.
+    """
+    words, valid = extract_canonical(codes, k)
+    B, nw, W = words.shape
+    flat = words.reshape(B * nw, W)
+    weights = valid.reshape(B * nw).astype(jnp.int32)
+    if n_passes > 1:
+        sel = (pass_hash(flat) % jnp.uint32(n_passes)) == pass_id.astype(jnp.uint32)
+        keep = sel & (weights > 0)
+        flat = jnp.where(keep[:, None], flat, SENTINEL)
+        weights = jnp.where(keep, weights, 0)
+    if per_bank:
+        bank_col = jnp.repeat(bank_ids.astype(jnp.uint32), nw)[:, None]
+        bank_col = jnp.where(weights[:, None] > 0, bank_col, SENTINEL)
+        flat = jnp.concatenate([flat, bank_col], axis=1)
+    return flat, weights
 
 
 @dataclass
@@ -114,12 +142,46 @@ class CountEngine:
         self.flush_items = flush_items
         self.nb_bins = nb_bins
 
-    def count(self, bank: Bank | str, per_bank: bool = False) -> CountResult:
+    def count(
+        self, bank: Bank | str, per_bank: bool = False, n_passes: int = 1
+    ) -> CountResult:
         if isinstance(bank, str):
             bank = open_bank(bank)
+        if n_passes <= 1:
+            return self.count_stream(
+                batch_iterator(bank, self.k, self.batch_rows, self.row_len),
+                nb_banks=bank.nb_banks,
+                per_bank=per_bank,
+            )
+        # multi-pass: re-read the bank once per pass, each pass restricted
+        # to its hash class of kmer space (reference n_iters semantics,
+        # doc/paper.tex:66-76) — pass tables are disjoint, so the merge is
+        # a concatenation + host sort.
+        results = []
+        for p in range(n_passes):
+            results.append(
+                self.count_stream(
+                    batch_iterator(bank, self.k, self.batch_rows, self.row_len),
+                    nb_banks=bank.nb_banks,
+                    per_bank=per_bank,
+                    pass_id=p,
+                    n_passes=n_passes,
+                )
+            )
+        return merge_pass_results(results)
+
+    def count_stream(
+        self,
+        batches,
+        nb_banks: int = 1,
+        per_bank: bool = False,
+        pass_id: int = 0,
+        n_passes: int = 1,
+    ) -> CountResult:
+        """Count over an iterable of Batch objects (the core loop; count()
+        wraps it with the bank reader, bench feeds it synthetic batches)."""
         k, W = self.k, self.W
         # per-bank mode: bank id rides as an extra least-significant key word
-        nb_banks = bank.nb_banks
         per_bank = per_bank and nb_banks > 1
         WK = W + 1 if per_bank else W
 
@@ -155,17 +217,15 @@ class CountEngine:
             pending = []
             pending_items = 0
 
-        for batch in batch_iterator(bank, k, self.batch_rows, self.row_len):
-            words, valid = extract_canonical(jnp.asarray(batch.codes), k)
-            B, nw, _ = words.shape
-            flat = words.reshape(B * nw, W)
-            weights = valid.reshape(B * nw).astype(jnp.int32)
-            if per_bank:
-                bank_col = jnp.repeat(
-                    jnp.asarray(batch.bank_ids, jnp.uint32), nw
-                ).reshape(B * nw, 1)
-                bank_col = jnp.where(weights[:, None] > 0, bank_col, SENTINEL)
-                flat = jnp.concatenate([flat, bank_col], axis=1)
+        for batch in batches:
+            flat, weights = prepare_batch(
+                jnp.asarray(batch.codes),
+                jnp.asarray(batch.bank_ids),
+                jnp.int32(pass_id),
+                k,
+                n_passes,
+                per_bank,
+            )
             pending.append((flat, weights))
             pending_items += flat.shape[0]
             n_bases += int(batch.n_bases)
@@ -205,6 +265,35 @@ class CountEngine:
             bank_counts=bank_mat,
             info=info,
         )
+
+
+def merge_pass_results(results: list[CountResult]) -> CountResult:
+    """Merge per-pass tables (disjoint kmer sets) into one sorted result."""
+    first = results[0]
+    kmers = np.concatenate([r.kmers for r in results], axis=0)
+    counts = np.concatenate([r.counts for r in results], axis=0)
+    bank_counts = None
+    if first.bank_counts is not None:
+        bank_counts = np.concatenate([r.bank_counts for r in results], axis=0)
+    # restore global ascending order (lexicographic over big-endian words ==
+    # integer order); np.lexsort keys are last-significant-first
+    order = np.lexsort(tuple(kmers[:, w] for w in range(kmers.shape[1] - 1, -1, -1)))
+    kmers = kmers[order]
+    counts = counts[order]
+    if bank_counts is not None:
+        bank_counts = bank_counts[order]
+    hist = np.sum([r.histogram for r in results], axis=0)
+    info = dict(first.info)
+    info["n_bases"] = first.info.get("n_bases", 0)
+    info["n_passes"] = len(results)
+    return CountResult(
+        k=first.k,
+        kmers=kmers,
+        counts=counts,
+        histogram=hist,
+        bank_counts=bank_counts,
+        info=info,
+    )
 
 
 def _group_by_kmer(

@@ -15,6 +15,7 @@ import numpy as np
 
 from dsk_tpu.engine import processors
 from dsk_tpu.engine.counter import CountEngine, CountResult
+from dsk_tpu.engine.planner import plan_resources
 from dsk_tpu.io.bank import open_bank
 from dsk_tpu.store import text as store_text
 from dsk_tpu.store.hdf5 import OutputStore
@@ -96,17 +97,28 @@ def execute(params: RunParams) -> RunOutput:
         or params.solidity_custom is not None
     )
 
+    with timers.phase("configure"):
+        plan = plan_resources(
+            bank,
+            k,
+            max_memory_mb=params.max_memory,
+            batch_rows=params.batch_rows,
+            row_len=params.row_len,
+        )
     engine = CountEngine(
         k,
         batch_rows=params.batch_rows,
         row_len=params.row_len,
+        flush_items=plan.flush_items,
         nb_bins=params.histo_max,
     )
     progress.log(
-        f"[dsk_tpu] counting k={k} over {bank.nb_banks} bank(s): {params.file}"
+        f"[dsk_tpu] counting k={k} over {bank.nb_banks} bank(s): {params.file} "
+        f"(~{plan.est_bases} bases, {plan.n_passes} pass(es), "
+        f"~{plan.est_distinct} distinct kmers expected)"
     )
     with timers.phase("count"):
-        result = engine.count(bank, per_bank=need_per_bank)
+        result = engine.count(bank, per_bank=need_per_bank, n_passes=plan.n_passes)
 
     custom = params.custom_vector(bank.nb_banks)
     solid_mask = processors.solidity_mask(
@@ -136,6 +148,7 @@ def execute(params: RunParams) -> RunOutput:
             "nb_banks": bank.nb_banks,
             "nb_distinct_kmers": result.n_distinct,
             "nb_solid_kmers": n_solid,
+            "config": plan.as_properties(),
             **result.info,
         }
         with OutputStore.create(h5_path, k) as store:

@@ -34,6 +34,39 @@ from dsk_tpu.kmer.codec import words_per_kmer
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
+def kmer_hash(words: jax.Array) -> jax.Array:
+    """Mixed 32-bit hash of (N, W) uint32 kmer words -> (N,) uint32.
+
+    Used for owner-chip routing (dist) and pass selection (multi-pass) —
+    the reference's h(m) partition/pass hash (doc/paper.tex:74).
+    Murmur-style multiply/xor-shift mixing so low bits are usable for
+    `% n`.  NOTE: pass selection and chip routing both consume this one
+    hash; they use INDEPENDENT bits (pass uses the hash of hash+seed) to
+    avoid correlation between the two partitions.
+    """
+    n = words.shape[0]
+    h = jnp.full((n,), 0x9E3779B9, jnp.uint32)
+    for w in range(words.shape[1]):
+        h = (h ^ words[:, w]) * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
+def pass_hash(words: jax.Array) -> jax.Array:
+    """Independent second hash for multi-pass selection (decorrelated from
+    kmer_hash so pass-restriction doesn't skew per-chip routing)."""
+    n = words.shape[0]
+    h = jnp.full((n,), 0x27220A95, jnp.uint32)
+    for w in range(words.shape[1]):
+        h = (h ^ words[:, w]) * jnp.uint32(0xCC9E2D51)
+        h = (h << 15) | (h >> 17)
+        h = h * jnp.uint32(0x1B873593)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    return h ^ (h >> 12)
+
+
 def _mask_word0(k: int, w: int) -> int:
     """Bit mask of the most-significant word (unused high bits are zero)."""
     used = 2 * k - 32 * (w - 1)
@@ -104,6 +137,11 @@ def sum_by_key(words: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Arr
       uniq:   (N, W) uint32 — distinct keys in sorted order, sentinel-padded
       counts: (N,)   int32  — total weight per distinct key
       n_uniq: ()     int32  — number of distinct non-sentinel keys
+
+    Scatter-free: TPU scatters (segment_sum, .at[].set compaction) are ~6x
+    slower than lax.sort, so run totals come from cumsum + run-boundary
+    scans and the compaction of distinct keys to the front is a second,
+    cheap single-key sort.  Total weight per call must stay < 2^31.
     """
     N, W = words.shape
     ops = tuple(words[:, w] for w in range(W)) + (weights.astype(jnp.int32),)
@@ -116,22 +154,37 @@ def sum_by_key(words: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Arr
     for w in range(W):
         neq = neq | (skeys[w][1:] != skeys[w][:-1])
     is_new = is_new.at[1:].set(neq)
-    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    is_end = jnp.concatenate([neq, jnp.ones((1,), jnp.bool_)])
 
-    counts = jax.ops.segment_sum(sweights, seg_id, num_segments=N).astype(jnp.int32)
-    uniq = jnp.full((N, W), SENTINEL)
+    # run total for the FIRST row of each run, via prefix sums:
+    # csum is monotone (weights >= 0), so the nearest run-end to the right
+    # is the reverse cummin over end rows.
+    csum = jnp.cumsum(sweights)
+    INT_MAX = jnp.int32(2**31 - 1)
+    end_csum = jax.lax.cummin(
+        jnp.where(is_end, csum, INT_MAX), axis=0, reverse=True
+    )
+    run_total = (end_csum - (csum - sweights)).astype(jnp.int32)
+
+    # a run is a real key iff not every word is SENTINEL (a canonical kmer
+    # can have word0 == 0xFFFFFFFF — e.g. a G^16 prefix when 16 | k — but
+    # never ALL words: canonical(G^k) = C^k)
+    is_sent = jnp.ones((N,), jnp.bool_)
     for w in range(W):
-        uniq = uniq.at[:, w].set(
-            jnp.full((N,), SENTINEL).at[seg_id].set(skeys[w])
-        )
-    n_segments = seg_id[-1] + 1
-    # A real canonical kmer can have word0 == SENTINEL (e.g. a G^16 prefix
-    # when k is a multiple of 16) but never ALL words all-ones (canonical
-    # of G^k is C^k), so sentinel detection must check every word.
-    last_is_sentinel = jnp.bool_(True)
-    for w in range(W):
-        last_is_sentinel = last_is_sentinel & (uniq[n_segments - 1, w] == SENTINEL)
-    n_uniq = n_segments - last_is_sentinel.astype(jnp.int32)
+        is_sent = is_sent & (skeys[w] == SENTINEL)
+    keep = is_new & ~is_sent
+
+    # compaction by stable single-key sort: real run-heads to the front
+    idx = jnp.arange(N, dtype=jnp.int32)
+    ckey = jnp.where(keep, idx, N)
+    ops2 = (ckey,) + skeys + (run_total,)
+    sorted2 = jax.lax.sort(ops2, num_keys=1)
+    live = sorted2[0] < N
+    uniq = jnp.stack(
+        [jnp.where(live, sorted2[1 + w], SENTINEL) for w in range(W)], axis=-1
+    )
+    counts = jnp.where(live, sorted2[1 + W], 0)
+    n_uniq = jnp.sum(keep.astype(jnp.int32))
     return uniq, counts, n_uniq
 
 

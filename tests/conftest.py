@@ -7,12 +7,21 @@ before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the test suite validates semantics and sharding on
+# a virtual 8-device mesh; the real chip (JAX_PLATFORMS=axon) is for bench.py.
+# Backends initialize lazily, so flipping jax.config before the first
+# jax.devices() call overrides any TPU platform registered at interpreter
+# start (the axon sitecustomize); XLA_FLAGS must be in the env by then too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

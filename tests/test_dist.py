@@ -1,0 +1,71 @@
+"""Distributed engine on the simulated 8-device CPU mesh vs oracle/fixtures."""
+
+import jax
+import numpy as np
+import pytest
+
+from dsk_tpu import oracle
+from dsk_tpu.dist.engine import DistCountEngine, default_mesh, kmer_hash
+from dsk_tpu.kmer import codec
+from tests.conftest import load_histo_fixture
+
+
+def result_as_dict(res):
+    return {codec.words_to_value(row): int(a) for row, a in zip(res.kmers, res.counts)}
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("k", [15, 27, 33])
+def test_dist_vs_oracle_readN(data_dir, k):
+    uri = str(data_dir / "readN.fasta")
+    eng = DistCountEngine(k, batch_rows=16, row_len=64, table_cap=1 << 12)
+    res = eng.count(uri)
+    assert result_as_dict(res) == oracle.count_bank(uri, k)
+    assert res.info["n_chips"] == 8
+
+
+def test_dist_k27_fixture(data_dir):
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    eng = DistCountEngine(27, batch_rows=512, row_len=128, table_cap=1 << 15)
+    res = eng.count(uri)
+    expected = load_histo_fixture(data_dir / "k27.histo")
+    got = {a: int(res.histogram[a]) for a in range(1, 10001)}
+    assert got == expected
+    # exact counts, not just the histogram
+    assert result_as_dict(res) == oracle.count_bank(uri, 27)
+
+
+def test_dist_partitioning_is_by_hash(data_dir):
+    # every kmer must live in partition hash(kmer) % n_chips
+    uri = str(data_dir / "readN.fasta")
+    eng = DistCountEngine(20, batch_rows=16, row_len=64, table_cap=1 << 12)
+    res = eng.count(uri)
+    sizes = res.info["partition_sizes"]
+    assert sum(sizes) == res.n_distinct
+    owners = np.asarray(kmer_hash(res.kmers) % np.uint32(8))
+    start = 0
+    for p, s in enumerate(sizes):
+        assert (owners[start : start + s] == p).all()
+        start += s
+
+
+def test_dist_matches_single_chip(data_dir):
+    from dsk_tpu.engine.counter import CountEngine
+
+    uri = str(data_dir / "longread.fasta")
+    a = DistCountEngine(31, batch_rows=64, row_len=128, table_cap=1 << 14).count(uri)
+    b = CountEngine(31, batch_rows=64, row_len=128).count(uri)
+    assert result_as_dict(a) == result_as_dict(b)
+    np.testing.assert_array_equal(a.histogram, b.histogram)
+
+
+def test_dist_overflow_detection(data_dir):
+    # absurdly small send capacity must raise, not silently drop kmers
+    eng = DistCountEngine(
+        21, batch_rows=512, row_len=128, send_slack=0.01, table_cap=1 << 14
+    )
+    with pytest.raises(RuntimeError, match="overflow"):
+        eng.count(str(data_dir / "read50x_ref10K_e001.fasta.gz"))
