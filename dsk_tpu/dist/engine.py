@@ -9,16 +9,26 @@ FILES on disk, then each partition is sorted/counted independently
     canonical k-mers from its shard of the batch — the thread-pool fill
     phase, P3),
   * each k-mer is routed to its OWNER chip by a mixed hash of its words
-    via `lax.all_to_all` over ICI (the partition files, P2),
+    via `lax.all_to_all` over ICI (the partition files, P2); duplicates
+    are collapsed locally BEFORE routing (superkmer-compression analog),
   * each chip appends received k-mers into a device-resident accumulation
     buffer (HBM replaces disk) and periodically merges the buffer into its
     running distinct-kmer table with sort + segment-reduce (the
     per-partition counting, P4),
   * the abundance histogram is merged with `psum` (the stats merge).
 
+Data layout is WORD PLANES: kmers live as W separate uint32 arrays (word 0
+most significant), so every lax.sort operand is contiguous — no strided
+(N, W) slicing on the hot path.  Extraction uses the Pallas kernel on TPU
+(dsk_tpu.kmer.pallas_kernels), the jnp sweep elsewhere.
+
+On a single chip the routing collapses to a raw append (no dedup, no
+scatter, no all_to_all): each record is touched by exactly ONE amortized
+sort in the periodic flush — the fastest possible sort-based counting.
+
 Everything is static-shaped: the per-destination send capacity is fixed
 (mean + slack), overflow is *counted* on device and checked on host at
-the end (v1: raise; the multi-pass retry valve mirrors the reference's
+the end (raise; the multi-pass retry valve mirrors the reference's
 n_iters semantics, doc/paper.tex:66).  The flush schedule is static
 (every `buf_batches` batches), so a whole pass compiles to a handful of
 XLA executables with no host round-trips in the loop.
@@ -37,16 +47,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dsk_tpu.engine import processors
-from dsk_tpu.engine.counter import CountResult
+from dsk_tpu.engine.counter import CountResult, merge_pass_results
 from dsk_tpu.io.bank import Bank, open_bank
 from dsk_tpu.io.batch import batch_iterator
 from dsk_tpu.kmer import codec
 from dsk_tpu.kmer.device import (
     SENTINEL,
-    extract_canonical,
-    kmer_hash,
-    sum_by_key,
+    kmer_hash,  # noqa: F401  (re-exported: partition semantics helper)
+    kmer_hash_planes,
+    pass_hash_planes,
+    sum_by_key_planes,
+)
+from dsk_tpu.kmer.pallas_kernels import (
+    extract_canonical_planes_jnp,
+    extract_canonical_planes_tpu,
 )
 
 AXIS = "chips"
@@ -62,13 +76,14 @@ def default_mesh(n_devices: int | None = None) -> Mesh:
 class _Plan:
     """Static shapes of one distributed pass."""
 
-    n: int            # chips
+    n: int                # chips
     rows_per_chip: int
-    nw: int           # windows per row
-    send_cap: int     # per-destination bucket capacity C
-    recv_per_batch: int   # n * C
+    nw: int               # windows per row
+    m: int                # windows per chip per batch
+    send_cap: int         # per-destination bucket capacity C (n > 1)
+    recv_per_batch: int   # appended rows per batch: n*C (n>1) or m (n==1)
     buf_batches: int
-    buf_cap: int      # buf_batches * recv_per_batch
+    buf_cap: int          # buf_batches * recv_per_batch
     table_cap: int
 
 
@@ -78,7 +93,7 @@ class DistCountEngine:
     send_slack: per-destination capacity = slack * mean routed volume; the
     frequency skew headroom (the reference balances partitions with
     frequency-aware minimizer repartition, SURVEY.md C6 — hash routing
-    plus slack plays that role here).
+    plus local dedup plus slack plays that role here).
     """
 
     def __init__(
@@ -102,20 +117,27 @@ class DistCountEngine:
         self.rows_per_chip = max(1, batch_rows // self.n)
         self.batch_rows = self.rows_per_chip * self.n
         nw = self.row_len - k + 1
-        per_chip_windows = self.rows_per_chip * nw
-        send_cap = int(np.ceil(per_chip_windows / self.n * send_slack))
-        send_cap = min(max(send_cap, 64), per_chip_windows)
+        m = self.rows_per_chip * nw
+        if self.n == 1:
+            send_cap = 0
+            recv = m
+        else:
+            send_cap = int(np.ceil(m / self.n * send_slack))
+            send_cap = min(max(send_cap, 64), m)
+            recv = self.n * send_cap
         self.plan = _Plan(
             n=self.n,
             rows_per_chip=self.rows_per_chip,
             nw=nw,
+            m=m,
             send_cap=send_cap,
-            recv_per_batch=self.n * send_cap,
+            recv_per_batch=recv,
             buf_batches=buf_batches,
-            buf_cap=buf_batches * self.n * send_cap,
+            buf_cap=buf_batches * recv,
             table_cap=table_cap,
         )
         self.nb_bins = nb_bins
+        self.use_pallas = self.mesh.devices.flat[0].platform == "tpu"
         self._build()
 
     # -- jitted programs -------------------------------------------------
@@ -123,51 +145,64 @@ class DistCountEngine:
     def _build(self):
         k, W, plan, mesh = self.k, self.W, self.plan, self.mesh
         n = plan.n
-
         n_passes = self.n_passes
+        use_pallas = self.use_pallas
 
-        def route_shard(batch, buf_w, buf_c, over, slot, pass_sel):
-            """Per-chip: extract + hash-route + append to buffer.
+        def extract_flat(batch):
+            """(rows, L) codes -> ((W, m) planes, (m,) int32 weights)."""
+            if use_pallas:
+                planes, valid = extract_canonical_planes_tpu(batch, k)
+            else:
+                planes, valid = extract_canonical_planes_jnp(batch, k)
+            flat = planes.reshape(W, plan.m)
+            weights = valid.reshape(plan.m).astype(jnp.int32)
+            return flat, weights
 
-            batch: (rows_per_chip, L) uint8;  buf_w: (buf_cap, W);
-            buf_c: (buf_cap,); over: (1,) int32; slot/pass_sel: () int32
-            replicated.
+        def maybe_pass_filter(flat, weights, pass_sel):
+            if n_passes <= 1:
+                return flat, weights
+            # multi-pass selection (reference n_iters, doc/paper.tex:74);
+            # rejected rows become full sentinels so they cannot occupy
+            # table capacity
+            sel = (
+                pass_hash_planes(tuple(flat)) % jnp.uint32(n_passes)
+            ) == pass_sel.astype(jnp.uint32)
+            keep = sel & (weights > 0)
+            flat = jnp.where(keep[None, :], flat, SENTINEL)
+            return flat, jnp.where(keep, weights, 0)
+
+        def fill_shard(batch, buf_p, buf_c, over, slot, pass_sel):
+            """Single-chip fast path: extract + raw append (no routing)."""
+            flat, weights = extract_flat(batch)
+            flat, weights = maybe_pass_filter(flat, weights, pass_sel)
+            off = slot * plan.recv_per_batch
+            buf_p = jax.lax.dynamic_update_slice(buf_p, flat, (0, off))
+            buf_c = jax.lax.dynamic_update_slice(buf_c, weights, (off,))
+            return buf_p, buf_c, over
+
+        def route_shard(batch, buf_p, buf_c, over, slot, pass_sel):
+            """Multi-chip: extract + local dedup + hash-route + append.
+
+            batch: (rows_per_chip, L) uint8;  buf_p: (W, buf_cap);
+            buf_c: (buf_cap,); over: (1,) int32; slot/pass_sel replicated.
             """
-            words, valid = extract_canonical(batch, k)
-            m = plan.rows_per_chip * plan.nw
-            flat = words.reshape(m, W)
-            weights = valid.reshape(m).astype(jnp.int32)
-
-            if n_passes > 1:
-                # multi-pass selection (reference n_iters, doc/paper.tex:74);
-                # rejected rows become full sentinels so they cannot occupy
-                # table capacity
-                from dsk_tpu.kmer.device import pass_hash
-
-                sel = (pass_hash(flat) % jnp.uint32(n_passes)) == pass_sel.astype(
-                    jnp.uint32
-                )
-                keep = sel & (weights > 0)
-                flat = jnp.where(keep[:, None], flat, SENTINEL)
-                weights = jnp.where(keep, weights, 0)
+            flat, weights = extract_flat(batch)
+            flat, weights = maybe_pass_filter(flat, weights, pass_sel)
 
             # local pre-aggregation: collapse duplicate kmers BEFORE routing
-            # so a hot kmer travels as one (kmer, weight) record per batch —
-            # without this any skewed input overflows the per-destination
-            # capacity (and ICI traffic shrinks by the local duplication
-            # factor; the reference's superkmer compression plays this role)
-            flat, weights, _ = sum_by_key(flat, weights)
+            # so a hot kmer travels as one (kmer, weight) record per batch
+            planes, counts, _ = sum_by_key_planes(tuple(flat), weights)
 
-            owner = (kmer_hash(flat) % jnp.uint32(n)).astype(jnp.int32)
-            owner = jnp.where(weights > 0, owner, n)  # sentinels sort last
+            owner = (kmer_hash_planes(planes) % jnp.uint32(n)).astype(jnp.int32)
+            owner = jnp.where(counts > 0, owner, n)  # sentinels sort last
 
-            # sort by owner, carrying (words, weights)
-            ops = (owner,) + tuple(flat[:, w] for w in range(W)) + (weights,)
-            s = jax.lax.sort(ops, num_keys=1)
-            sowner, skey, sweights = s[0], s[1 : 1 + W], s[1 + W]
+            # sort by owner, carrying (planes, counts)
+            s = jax.lax.sort((owner,) + planes + (counts,), num_keys=1)
+            sowner, skey, scounts = s[0], s[1 : 1 + W], s[1 + W]
 
             # position within owner group (owner-sorted -> group starts
             # are where owner changes; cummax gives each row its start)
+            m = plan.m
             idx = jnp.arange(m, dtype=jnp.int32)
             is_new = jnp.ones((m,), jnp.bool_).at[1:].set(sowner[1:] != sowner[:-1])
             group_start = jax.lax.cummax(jnp.where(is_new, idx, 0), axis=0)
@@ -175,39 +210,50 @@ class DistCountEngine:
 
             C = plan.send_cap
             # scatter into (n, C) send buckets; OOB (owner==n, pos>=C) drop
-            send_w = jnp.full((n, C, W), SENTINEL)
-            send_c = jnp.zeros((n, C), jnp.int32)
-            skey_m = jnp.stack(skey, axis=-1)  # (m, W)
-            send_w = send_w.at[sowner, pos].set(skey_m, mode="drop")
-            send_c = send_c.at[sowner, pos].set(sweights, mode="drop")
+            send_c = (
+                jnp.zeros((n, C), jnp.int32)
+                .at[sowner, pos]
+                .set(scounts, mode="drop")
+            )
+            recv_c = jax.lax.all_to_all(send_c, AXIS, split_axis=0, concat_axis=0)
+            recv_p = []
+            for w in range(W):
+                send_w = (
+                    jnp.full((n, C), SENTINEL)
+                    .at[sowner, pos]
+                    .set(skey[w], mode="drop")
+                )
+                recv_p.append(
+                    jax.lax.all_to_all(
+                        send_w, AXIS, split_axis=0, concat_axis=0
+                    ).reshape(plan.recv_per_batch)
+                )
             over = over + jnp.sum(
-                (sweights > 0) & (sowner < n) & (pos >= C)
+                (scounts > 0) & (sowner < n) & (pos >= C)
             ).astype(jnp.int32)[None]
 
-            # the partition-file write: all_to_all over ICI
-            recv_w = jax.lax.all_to_all(send_w, AXIS, split_axis=0, concat_axis=0)
-            recv_c = jax.lax.all_to_all(send_c, AXIS, split_axis=0, concat_axis=0)
-
             off = slot * plan.recv_per_batch
-            buf_w = jax.lax.dynamic_update_slice(
-                buf_w, recv_w.reshape(plan.recv_per_batch, W), (off, 0)
+            buf_p = jax.lax.dynamic_update_slice(
+                buf_p, jnp.stack(recv_p, axis=0), (0, off)
             )
             buf_c = jax.lax.dynamic_update_slice(
                 buf_c, recv_c.reshape(plan.recv_per_batch), (off,)
             )
-            return buf_w, buf_c, over
+            return buf_p, buf_c, over
 
-        def flush_shard(buf_w, buf_c, tab_w, tab_c, tover):
+        def flush_shard(buf_p, buf_c, tab_p, tab_c, tover):
             """Per-chip: merge buffer + running table -> new table."""
-            words = jnp.concatenate([buf_w, tab_w], axis=0)
-            weights = jnp.concatenate([buf_c, tab_c], axis=0)
-            uniq, counts, n_uniq = sum_by_key(words, weights)
+            planes = tuple(
+                jnp.concatenate([buf_p[w], tab_p[w]]) for w in range(W)
+            )
+            weights = jnp.concatenate([buf_c, tab_c])
+            uniq, counts, n_uniq = sum_by_key_planes(planes, weights)
             tover = tover + (n_uniq > plan.table_cap).astype(jnp.int32)[None]
-            new_w = uniq[: plan.table_cap]
+            new_p = jnp.stack([u[: plan.table_cap] for u in uniq], axis=0)
             new_c = counts[: plan.table_cap]
-            buf_w = jnp.full((plan.buf_cap, W), SENTINEL)
+            buf_p = jnp.full((W, plan.buf_cap), SENTINEL)
             buf_c = jnp.zeros((plan.buf_cap,), jnp.int32)
-            return buf_w, buf_c, new_w, new_c, tover
+            return buf_p, buf_c, new_p, new_c, tover
 
         def hist_shard(tab_c):
             # int32 bins on device (TPU has no native int64); widened on host
@@ -217,23 +263,27 @@ class DistCountEngine:
             h = h.at[bins].add(mask.astype(jnp.int32)).at[0].set(0)
             return jax.lax.psum(h, AXIS)
 
-        pb = P(AXIS)       # sharded on leading axis
-        pr = P()           # replicated
-        shmap = functools.partial(jax.shard_map, mesh=mesh)
+        pp = P(None, AXIS)  # plane arrays: (W, n*cap) sharded on last axis
+        pb = P(AXIS)        # vectors sharded on leading axis
+        pr = P()            # replicated
+        # check_vma=False: pallas_call outputs have no varying-mesh-axes
+        # annotation; all our shardings are explicit in in/out_specs
+        shmap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
 
+        step = fill_shard if n == 1 else route_shard
         self._route = jax.jit(
             shmap(
-                route_shard,
-                in_specs=(pb, pb, pb, pb, pr, pr),
-                out_specs=(pb, pb, pb),
+                step,
+                in_specs=(pb, pp, pb, pb, pr, pr),
+                out_specs=(pp, pb, pb),
             ),
             donate_argnums=(1, 2, 3),
         )
         self._flush = jax.jit(
             shmap(
                 flush_shard,
-                in_specs=(pb, pb, pb, pb, pb),
-                out_specs=(pb, pb, pb, pb, pb),
+                in_specs=(pp, pb, pp, pb, pb),
+                out_specs=(pp, pb, pp, pb, pb),
             ),
             donate_argnums=(0, 1, 2, 3, 4),
         )
@@ -243,18 +293,25 @@ class DistCountEngine:
 
     def _init_state(self):
         plan, W = self.plan, self.W
-        shard = NamedSharding(self.mesh, P(AXIS))
+        mesh = self.mesh
+        sh_p = NamedSharding(mesh, P(None, AXIS))
+        sh_b = NamedSharding(mesh, P(AXIS))
 
-        def mk(shape, fill, dtype):
-            return jax.device_put(jnp.full(shape, fill, dtype), shard)
-
-        buf_w = mk((plan.n * plan.buf_cap, W), SENTINEL, jnp.uint32)
-        buf_c = mk((plan.n * plan.buf_cap,), 0, jnp.int32)
-        tab_w = mk((plan.n * plan.table_cap, W), SENTINEL, jnp.uint32)
-        tab_c = mk((plan.n * plan.table_cap,), 0, jnp.int32)
-        over = mk((plan.n,), 0, jnp.int32)
-        tover = mk((plan.n,), 0, jnp.int32)
-        return buf_w, buf_c, tab_w, tab_c, over, tover
+        buf_p = jax.device_put(
+            jnp.full((W, plan.n * plan.buf_cap), SENTINEL, jnp.uint32), sh_p
+        )
+        buf_c = jax.device_put(
+            jnp.zeros((plan.n * plan.buf_cap,), jnp.int32), sh_b
+        )
+        tab_p = jax.device_put(
+            jnp.full((W, plan.n * plan.table_cap), SENTINEL, jnp.uint32), sh_p
+        )
+        tab_c = jax.device_put(
+            jnp.zeros((plan.n * plan.table_cap,), jnp.int32), sh_b
+        )
+        over = jax.device_put(jnp.zeros((plan.n,), jnp.int32), sh_b)
+        tover = jax.device_put(jnp.zeros((plan.n,), jnp.int32), sh_b)
+        return buf_p, buf_c, tab_p, tab_c, over, tover
 
     # -- driver ----------------------------------------------------------
 
@@ -266,8 +323,6 @@ class DistCountEngine:
                 batch_iterator(bank, self.k, self.batch_rows, self.row_len),
                 nb_banks=bank.nb_banks,
             )
-        from dsk_tpu.engine.counter import merge_pass_results
-
         results = [
             self.count_stream(
                 batch_iterator(bank, self.k, self.batch_rows, self.row_len),
@@ -279,35 +334,47 @@ class DistCountEngine:
         return merge_pass_results(results)
 
     def count_stream(
-        self, batches, nb_banks: int = 1, pass_id: int = 0
+        self, batches, nb_banks: int = 1, pass_id: int = 0,
+        finalize: bool = True,
     ) -> CountResult:
         """Count over an iterable of Batch objects (core loop; count() wraps
-        it with the bank reader, dryrun/bench feed synthetic batches)."""
+        it with the bank reader, dryrun/bench feed synthetic batches).
+
+        finalize=False skips the table device->host gather: the result has
+        histogram/info but empty kmers/counts, and the device tables are
+        left on self._last_state for a later gather (bench uses this to
+        time the streaming phase separately from the output download,
+        which through the axon tunnel runs at ~9 MB/s vs GB/s on real
+        PCIe)."""
         k, W, plan = self.k, self.W, self.plan
 
-        buf_w, buf_c, tab_w, tab_c, over, tover = self._init_state()
+        buf_p, buf_c, tab_p, tab_c, over, tover = self._init_state()
+        batch_sharding = NamedSharding(self.mesh, P(AXIS))
+        single = plan.n == 1
+        device0 = self.mesh.devices.flat[0]
         slot = 0
         n_bases = 0
         n_reads = 0
 
         for batch in batches:
-            batch_dev = jax.device_put(
-                jnp.asarray(batch.codes), NamedSharding(self.mesh, P(AXIS))
-            )
-            buf_w, buf_c, over = self._route(
-                batch_dev, buf_w, buf_c, over, jnp.int32(slot), jnp.int32(pass_id)
+            if single:
+                batch_dev = jax.device_put(batch.codes, device0)
+            else:
+                batch_dev = jax.device_put(batch.codes, batch_sharding)
+            buf_p, buf_c, over = self._route(
+                batch_dev, buf_p, buf_c, over, jnp.int32(slot), jnp.int32(pass_id)
             )
             n_bases += batch.n_bases
             n_reads += batch.n_reads
             slot += 1
             if slot == plan.buf_batches:
-                buf_w, buf_c, tab_w, tab_c, tover = self._flush(
-                    buf_w, buf_c, tab_w, tab_c, tover
+                buf_p, buf_c, tab_p, tab_c, tover = self._flush(
+                    buf_p, buf_c, tab_p, tab_c, tover
                 )
                 slot = 0
         if slot:
-            buf_w, buf_c, tab_w, tab_c, tover = self._flush(
-                buf_w, buf_c, tab_w, tab_c, tover
+            buf_p, buf_c, tab_p, tab_c, tover = self._flush(
+                buf_p, buf_c, tab_p, tab_c, tover
             )
 
         n_over = int(np.asarray(over).sum())
@@ -319,33 +386,51 @@ class DistCountEngine:
         if int(np.asarray(tover).sum()):
             raise RuntimeError(
                 f"table overflow: >{plan.table_cap} distinct kmers on a "
-                f"chip; raise table_cap (or use more chips)"
+                f"chip; raise table_cap (or use more chips/passes)"
             )
 
-        hist = np.asarray(self._hist(tab_c), dtype=np.int64)
+        hist = np.zeros(self.nb_bins + 1, np.int64)
+        hist += np.asarray(self._hist(tab_c), dtype=np.int64)
+        info = {
+            "n_bases": n_bases,
+            "n_reads": n_reads,
+            "nb_banks": nb_banks,
+            "n_chips": plan.n,
+        }
 
-        # gather per-chip tables -> host partitions (partition p = chip p)
-        tw = np.asarray(tab_w).reshape(plan.n, plan.table_cap, W)
+        if not finalize:
+            self._last_state = (tab_p, tab_c)
+            info["n_distinct_device"] = int(hist[1:].sum())
+            return CountResult(
+                k=k,
+                kmers=np.empty((0, W), np.uint32),
+                counts=np.empty((0,), np.int32),
+                histogram=hist,
+                info=info,
+            )
+
+        kmers, counts, sizes = self.gather_tables(tab_p, tab_c)
+        info["partition_sizes"] = sizes
+        return CountResult(
+            k=k, kmers=kmers, counts=counts, histogram=hist, info=info
+        )
+
+    def gather_tables(self, tab_p=None, tab_c=None):
+        """Device tables -> host (kmers (n,W), counts, partition sizes).
+
+        Partition p of the output store = chip p's table (the analog of
+        dsk/solid/<i>)."""
+        if tab_p is None:
+            tab_p, tab_c = self._last_state
+        W, plan = self.W, self.plan
+        tp = np.asarray(tab_p).reshape(W, plan.n, plan.table_cap)
         tc = np.asarray(tab_c).reshape(plan.n, plan.table_cap)
         parts_w, parts_c, sizes = [], [], []
         for p in range(plan.n):
-            m = tc[p] > 0
-            parts_w.append(tw[p][m])
-            parts_c.append(tc[p][m])
-            sizes.append(int(m.sum()))
-        kmers = np.concatenate(parts_w, axis=0) if parts_w else np.empty((0, W), np.uint32)
-        counts = np.concatenate(parts_c, axis=0) if parts_c else np.empty((0,), np.int32)
-
-        return CountResult(
-            k=k,
-            kmers=kmers,
-            counts=counts,
-            histogram=hist,
-            info={
-                "n_bases": n_bases,
-                "n_reads": n_reads,
-                "nb_banks": nb_banks,
-                "n_chips": plan.n,
-                "partition_sizes": sizes,
-            },
-        )
+            mask = tc[p] > 0
+            parts_w.append(tp[:, p, :].T[mask])  # (n_live, W)
+            parts_c.append(tc[p][mask])
+            sizes.append(int(mask.sum()))
+        kmers = np.concatenate(parts_w, axis=0)
+        counts = np.concatenate(parts_c, axis=0)
+        return kmers, counts, sizes

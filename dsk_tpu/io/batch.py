@@ -49,21 +49,37 @@ def batch_iterator(
     k: int,
     batch_rows: int = 1024,
     row_len: int = 256,
+    use_native: bool | None = None,
 ) -> Iterator[Batch]:
-    """Stream a bank as fixed-shape batches of encoded, chunked reads."""
+    """Stream a bank as fixed-shape batches of encoded, chunked reads.
+
+    Dispatches to the native C++ reader (dsk_tpu.io.native: gunzip + parse
+    + encode + halo-chunk in one pass, the BankFasta replacement) when the
+    shared library is available; the Python path is the tested fallback
+    and produces byte-identical batches.
+    """
     if row_len < k:
         raise ValueError(f"row_len {row_len} < k={k}")
+    if use_native is None:
+        from dsk_tpu.io import native
+
+        use_native = native.available()
+    if use_native:
+        yield from _native_batch_iterator(bank, k, batch_rows, row_len)
+        return
     buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
     bids = np.zeros(batch_rows, dtype=np.int32)
     row = 0
     bases = 0
     reads = 0
     for bank_id, seq in bank.iter_sequences():
+        # stats count ALL parsed input (reads shorter than k produce no
+        # rows but are still consumed input — native parser semantics)
+        bases += len(seq.data)
+        reads += 1
         if len(seq.data) < k:
             continue
         codes = encode_bytes(seq.data)
-        bases += codes.shape[0]
-        reads += 1
         for chunk in chunk_codes(codes, k, row_len):
             buf[row, : chunk.shape[0]] = chunk
             bids[row] = bank_id
@@ -75,5 +91,45 @@ def batch_iterator(
                 row = 0
                 bases = 0
                 reads = 0
+    if row > 0:
+        yield Batch(buf, bids, row, bases, reads)
+
+
+def _native_batch_iterator(
+    bank: Bank, k: int, batch_rows: int, row_len: int
+) -> Iterator[Batch]:
+    """C++-backed batching: one NativeReader per sub-bank, shared buffers.
+
+    Row/boundary semantics identical to the Python path (validated row-for-
+    row in tests/test_native_io.py); rows from consecutive sub-banks can
+    share a batch, with bank_ids labeling each row.
+    """
+    from dsk_tpu.io.native import NativeReader
+
+    buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
+    bids = np.zeros(batch_rows, dtype=np.int32)
+    row = 0
+    bases = 0
+    reads = 0
+    for bank_id, path in enumerate(bank.files):
+        reader = NativeReader(path)
+        try:
+            while True:
+                n, b, r = reader.next_batch(buf[row:], k)
+                if n == 0 and b == 0 and r == 0:
+                    break
+                bids[row : row + n] = bank_id
+                row += n
+                bases += b
+                reads += r
+                if row == batch_rows:
+                    yield Batch(buf, bids, row, bases, reads)
+                    buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
+                    bids = np.zeros(batch_rows, dtype=np.int32)
+                    row = 0
+                    bases = 0
+                    reads = 0
+        finally:
+            reader.close()
     if row > 0:
         yield Batch(buf, bids, row, bases, reads)

@@ -44,10 +44,14 @@ def kmer_hash(words: jax.Array) -> jax.Array:
     hash; they use INDEPENDENT bits (pass uses the hash of hash+seed) to
     avoid correlation between the two partitions.
     """
-    n = words.shape[0]
-    h = jnp.full((n,), 0x9E3779B9, jnp.uint32)
-    for w in range(words.shape[1]):
-        h = (h ^ words[:, w]) * jnp.uint32(0x85EBCA6B)
+    return kmer_hash_planes(tuple(words[:, w] for w in range(words.shape[1])))
+
+
+def kmer_hash_planes(planes: tuple[jax.Array, ...]) -> jax.Array:
+    """kmer_hash over plane layout (tuple of (N,) uint32 word arrays)."""
+    h = jnp.full(planes[0].shape, 0x9E3779B9, jnp.uint32)
+    for p in planes:
+        h = (h ^ p) * jnp.uint32(0x85EBCA6B)
         h = h ^ (h >> 13)
     h = h * jnp.uint32(0xC2B2AE35)
     return h ^ (h >> 16)
@@ -56,10 +60,14 @@ def kmer_hash(words: jax.Array) -> jax.Array:
 def pass_hash(words: jax.Array) -> jax.Array:
     """Independent second hash for multi-pass selection (decorrelated from
     kmer_hash so pass-restriction doesn't skew per-chip routing)."""
-    n = words.shape[0]
-    h = jnp.full((n,), 0x27220A95, jnp.uint32)
-    for w in range(words.shape[1]):
-        h = (h ^ words[:, w]) * jnp.uint32(0xCC9E2D51)
+    return pass_hash_planes(tuple(words[:, w] for w in range(words.shape[1])))
+
+
+def pass_hash_planes(planes: tuple[jax.Array, ...]) -> jax.Array:
+    """pass_hash over plane layout (tuple of (N,) uint32 word arrays)."""
+    h = jnp.full(planes[0].shape, 0x27220A95, jnp.uint32)
+    for p in planes:
+        h = (h ^ p) * jnp.uint32(0xCC9E2D51)
         h = (h << 15) | (h >> 17)
         h = h * jnp.uint32(0x1B873593)
     h = h ^ (h >> 15)
@@ -144,7 +152,20 @@ def sum_by_key(words: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Arr
     cheap single-key sort.  Total weight per call must stay < 2^31.
     """
     N, W = words.shape
-    ops = tuple(words[:, w] for w in range(W)) + (weights.astype(jnp.int32),)
+    planes = tuple(words[:, w] for w in range(W))
+    uniq_planes, counts, n_uniq = sum_by_key_planes(planes, weights)
+    return jnp.stack(uniq_planes, axis=-1), counts, n_uniq
+
+
+def sum_by_key_planes(
+    planes: tuple[jax.Array, ...], weights: jax.Array
+) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Plane-layout core of sum_by_key: keys as W separate (N,) uint32
+    arrays (contiguous lax.sort operands — no strided slicing of a (N, W)
+    matrix).  Returns (uniq_planes, counts, n_uniq)."""
+    W = len(planes)
+    N = planes[0].shape[0]
+    ops = planes + (weights.astype(jnp.int32),)
     sorted_ops = jax.lax.sort(ops, num_keys=W)
     skeys = sorted_ops[:W]
     sweights = sorted_ops[W]
@@ -180,12 +201,12 @@ def sum_by_key(words: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Arr
     ops2 = (ckey,) + skeys + (run_total,)
     sorted2 = jax.lax.sort(ops2, num_keys=1)
     live = sorted2[0] < N
-    uniq = jnp.stack(
-        [jnp.where(live, sorted2[1 + w], SENTINEL) for w in range(W)], axis=-1
+    uniq_planes = tuple(
+        jnp.where(live, sorted2[1 + w], SENTINEL) for w in range(W)
     )
     counts = jnp.where(live, sorted2[1 + W], 0)
     n_uniq = jnp.sum(keep.astype(jnp.int32))
-    return uniq, counts, n_uniq
+    return uniq_planes, counts, n_uniq
 
 
 def count_batch_windows(batch: jax.Array, k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
