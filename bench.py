@@ -60,7 +60,7 @@ def main() -> None:
 
     k = 31
     rows, row_len = 512, 1024
-    n_batches = 96
+    n_batches = 72
 
     # the static-shape engine: all executables compile once during warmup
     # (route / flush / hist shapes never change thereafter)
@@ -69,11 +69,11 @@ def main() -> None:
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=16,
+        buf_batches=8,
         table_cap=1 << 21,
     )
     warm = make_batches(2, rows, row_len, seed=99)
-    engine.count_stream(iter(warm))  # compile + warm caches
+    engine.count_stream(iter(warm), finalize=False)  # compile + warm caches
 
     batches = make_batches(n_batches, rows, row_len, seed=0)
     total_bases = sum(b.n_bases for b in batches)

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     opt.add_argument("-nb-cores", dest="nb_cores", type=int, default=0,
                      help="number of host pipeline cores (0 = all)")
     opt.add_argument("-verbose", type=int, default=1, help="verbosity level")
+    opt.add_argument("-resume", action="store_true",
+                     help="resume a multi-pass run from <out>.ckpt.h5")
+    opt.add_argument("-no-checkpoint", dest="no_checkpoint",
+                     action="store_true",
+                     help="disable per-pass checkpointing")
     return p
 
 
@@ -79,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
         histo2d=bool(args.histo2d),
         nb_cores=args.nb_cores,
         verbose=args.verbose,
+        resume=args.resume,
+        checkpoint=not args.no_checkpoint,
     )
     try:
         execute(params)

@@ -323,13 +323,13 @@ class DistCountEngine:
                 batch_iterator(bank, self.k, self.batch_rows, self.row_len),
                 nb_banks=bank.nb_banks,
             )
+        from dsk_tpu.engine.counter import multipass_batches
+
         results = [
-            self.count_stream(
-                batch_iterator(bank, self.k, self.batch_rows, self.row_len),
-                nb_banks=bank.nb_banks,
-                pass_id=p,
+            self.count_stream(batches, nb_banks=bank.nb_banks, pass_id=p)
+            for p, batches in multipass_batches(
+                bank, self.k, self.batch_rows, self.row_len, self.n_passes
             )
-            for p in range(self.n_passes)
         ]
         return merge_pass_results(results)
 

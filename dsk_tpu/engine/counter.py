@@ -19,6 +19,7 @@ per-base / per-kmer work happens on device under jit with static shapes.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -143,31 +144,57 @@ class CountEngine:
         self.nb_bins = nb_bins
 
     def count(
-        self, bank: Bank | str, per_bank: bool = False, n_passes: int = 1
+        self,
+        bank: Bank | str,
+        per_bank: bool = False,
+        n_passes: int = 1,
+        cache_dir: str | None = None,
+        done_passes: dict[int, CountResult] | None = None,
+        on_pass=None,
     ) -> CountResult:
+        """Full count.  Multi-pass restartability (SURVEY.md section 5.3-4):
+        done_passes supplies already-completed pass results (from a
+        checkpoint), on_pass(p, result) is called after each fresh pass
+        (the checkpoint write hook)."""
         if isinstance(bank, str):
             bank = open_bank(bank)
         if n_passes <= 1:
-            return self.count_stream(
+            res = self.count_stream(
                 batch_iterator(bank, self.k, self.batch_rows, self.row_len),
                 nb_banks=bank.nb_banks,
                 per_bank=per_bank,
             )
-        # multi-pass: re-read the bank once per pass, each pass restricted
+            if on_pass is not None:
+                on_pass(0, res)
+            return res
+        # multi-pass: re-read the input once per pass, each pass restricted
         # to its hash class of kmer space (reference n_iters semantics,
         # doc/paper.tex:66-76) — pass tables are disjoint, so the merge is
-        # a concatenation + host sort.
+        # a concatenation + host sort.  Pass 0 tees the encoded batches
+        # into a 2-bit cache (BankBinary analog, C11) so later passes skip
+        # gunzip/parse/encode.
+        done_passes = done_passes or {}
         results = []
-        for p in range(n_passes):
-            results.append(
-                self.count_stream(
-                    batch_iterator(bank, self.k, self.batch_rows, self.row_len),
-                    nb_banks=bank.nb_banks,
-                    per_bank=per_bank,
-                    pass_id=p,
-                    n_passes=n_passes,
-                )
+        for p, batches in multipass_batches(
+            bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir
+        ):
+            if p in done_passes:
+                # drain pass-0's tee so the cache still gets written
+                if p == 0 and len(done_passes) < n_passes:
+                    for _ in batches:
+                        pass
+                results.append(done_passes[p])
+                continue
+            res = self.count_stream(
+                batches,
+                nb_banks=bank.nb_banks,
+                per_bank=per_bank,
+                pass_id=p,
+                n_passes=n_passes,
             )
+            if on_pass is not None:
+                on_pass(p, res)
+            results.append(res)
         return merge_pass_results(results)
 
     def count_stream(
@@ -265,6 +292,36 @@ class CountEngine:
             bank_counts=bank_mat,
             info=info,
         )
+
+
+def multipass_batches(
+    bank: Bank,
+    k: int,
+    batch_rows: int,
+    row_len: int,
+    n_passes: int,
+    cache_dir: str | None = None,
+):
+    """Yield (pass_id, batch_iterable) per pass; pass 0 reads the bank and
+    tees a 2-bit batch cache, later passes stream the cache (C11 analog).
+    The cache is removed when the generator is exhausted or closed."""
+    import tempfile
+    import uuid
+
+    from dsk_tpu.io import cache as bcache
+
+    d = cache_dir or tempfile.gettempdir()
+    path = os.path.join(d, f"dsk_tpu_cache_{uuid.uuid4().hex}.bin")
+    try:
+        writer = bcache.BatchCacheWriter(path, k, batch_rows, row_len)
+        yield 0, bcache.teeing_iterator(
+            batch_iterator(bank, k, batch_rows, row_len), writer
+        )
+        for p in range(1, n_passes):
+            yield p, bcache.read_batches(path)
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
 
 
 def merge_pass_results(results: list[CountResult]) -> CountResult:

@@ -47,6 +47,8 @@ class RunParams:
     verbose: int = 1
     batch_rows: int = 1024
     row_len: int = 256
+    resume: bool = False     # reuse <prefix>.ckpt.h5 pass checkpoints
+    checkpoint: bool = True  # write per-pass checkpoints on multi-pass runs
 
     def out_prefix(self) -> str:
         if self.out:
@@ -117,8 +119,37 @@ def execute(params: RunParams) -> RunOutput:
         f"(~{plan.est_bases} bases, {plan.n_passes} pass(es), "
         f"~{plan.est_distinct} distinct kmers expected)"
     )
+    prefix_early = params.out_prefix()
+    ckpt = None
+    done_passes = None
+    on_pass = None
+    if plan.n_passes > 1 and params.checkpoint:
+        from dsk_tpu.engine.checkpoint import PassCheckpoint
+
+        ckpt = PassCheckpoint(prefix_early + ".ckpt.h5", params, plan.n_passes)
+        if params.resume:
+            done_passes = ckpt.load()
+            if done_passes:
+                progress.log(
+                    f"[dsk_tpu] resuming: passes "
+                    f"{sorted(done_passes)} loaded from checkpoint"
+                )
+        def on_pass(p, res, _c=ckpt, _prog=progress, _n=plan.n_passes):
+            _c.save_pass(p, res)
+            _prog.log(f"[dsk_tpu] pass {p + 1}/{_n} done "
+                      f"({res.n_distinct} distinct kmers), checkpointed")
+
     with timers.phase("count"):
-        result = engine.count(bank, per_bank=need_per_bank, n_passes=plan.n_passes)
+        result = engine.count(
+            bank,
+            per_bank=need_per_bank,
+            n_passes=plan.n_passes,
+            cache_dir=params.out_tmp,
+            done_passes=done_passes,
+            on_pass=on_pass,
+        )
+    if ckpt is not None:
+        ckpt.remove()
 
     custom = params.custom_vector(bank.nb_banks)
     solid_mask = processors.solidity_mask(
