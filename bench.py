@@ -72,8 +72,11 @@ def main() -> None:
         buf_batches=8,
         table_cap=1 << 21,
     )
+    import sys
+
+    engine.compile(progress=lambda m: print(f"[bench] {m}", file=sys.stderr))
     warm = make_batches(2, rows, row_len, seed=99)
-    engine.count_stream(iter(warm), finalize=False)  # compile + warm caches
+    engine.count_stream(iter(warm), finalize=False)  # warm execution path
 
     batches = make_batches(n_batches, rows, row_len, seed=0)
     total_bases = sum(b.n_bases for b in batches)

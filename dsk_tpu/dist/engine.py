@@ -291,6 +291,40 @@ class DistCountEngine:
             shmap(hist_shard, in_specs=(pb,), out_specs=pr)
         )
 
+    def compile(self, progress=None) -> "DistCountEngine":
+        """Ahead-of-time compile the three pass programs (route, flush,
+        hist) and swap the jit wrappers for the compiled executables.
+
+        jax's jit dispatch cache is not populated by .lower().compile(),
+        so the compiled objects replace the wrappers directly.  Compile
+        times for the big sort programs run to minutes via the remote
+        TPU compile service; doing it explicitly (and once) keeps the
+        streaming loop free of compile stalls."""
+        import jax.numpy as _jnp
+
+        plan, W = self.plan, self.W
+        rows = self.rows_per_chip * plan.n
+        b = jax.ShapeDtypeStruct((rows, self.row_len), _jnp.uint8)
+        bp = jax.ShapeDtypeStruct((W, plan.n * plan.buf_cap), _jnp.uint32)
+        bc = jax.ShapeDtypeStruct((plan.n * plan.buf_cap,), _jnp.int32)
+        tp = jax.ShapeDtypeStruct((W, plan.n * plan.table_cap), _jnp.uint32)
+        tc = jax.ShapeDtypeStruct((plan.n * plan.table_cap,), _jnp.int32)
+        ov = jax.ShapeDtypeStruct((plan.n,), _jnp.int32)
+        sc = jax.ShapeDtypeStruct((), _jnp.int32)
+        for name, fn, args in (
+            ("route", "_route", (b, bp, bc, ov, sc, sc)),
+            ("flush", "_flush", (bp, bc, tp, tc, ov)),
+            ("hist", "_hist", (tc,)),
+        ):
+            t0 = __import__("time").perf_counter()
+            setattr(self, fn, getattr(self, fn).lower(*args).compile())
+            if progress:
+                progress(
+                    f"compiled {name} in "
+                    f"{__import__('time').perf_counter() - t0:.1f}s"
+                )
+        return self
+
     def _init_state(self):
         plan, W = self.plan, self.W
         mesh = self.mesh

@@ -1,0 +1,60 @@
+"""Aux subsystems: plots, multihost input sharding, sweep harness."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from dsk_tpu.dist.multihost import shard_bank
+from dsk_tpu.io.bank import open_bank
+from dsk_tpu.utils import plots
+
+
+def test_shard_bank_round_robin(data_dir):
+    files = ",".join(str(data_dir / f"c{i}.fasta.gz") for i in range(1, 5))
+    bank = open_bank(files)
+    s0 = shard_bank(bank, process_id=0, num_processes=2)
+    s1 = shard_bank(bank, process_id=1, num_processes=2)
+    assert s0.files + s1.files != []
+    assert sorted(s0.files + s1.files) == sorted(bank.files)
+    assert s0.global_ids == [0, 2]
+    assert s1.global_ids == [1, 3]
+
+
+def test_plot_histo(data_dir, tmp_path):
+    out = plots.plot_histo(
+        str(data_dir / "k27.histo"), out=str(tmp_path / "h.png")
+    )
+    assert (tmp_path / "h.png").stat().st_size > 1000
+
+
+def test_plot_histo2d(tmp_path):
+    # synthesize a tiny histo2D matrix file
+    path = tmp_path / "x.histo2D"
+    with open(path, "w") as f:
+        for r in range(1, 30):
+            cols = [max(0, 100 - abs(r - 10) * 10)] + [max(0, 50 - abs(r - 12) * 7)] + [0] * 9
+            f.write(f"{r} {' '.join(map(str, cols))}\n")
+    out = plots.plot_histo2d(str(path), out=str(tmp_path / "h2.png"))
+    assert (tmp_path / "h2.png").stat().st_size > 1000
+
+
+def test_sweep_harness_smoke(data_dir, tmp_path):
+    r = subprocess.run(
+        [
+            sys.executable, "scripts/sweep.py",
+            str(data_dir / "readN.fasta"), "-k", "20",
+            "--mems", "1000", "--passes", "1,2",
+            "--batch-rows", "8", "--row-len", "64",
+        ],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "PYTHONPATH": "/root/repo"},
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    cells = [json.loads(line) for line in r.stdout.splitlines() if line.strip()]
+    assert len(cells) == 2
+    assert all(c["status"] == "ok" for c in cells)
+    assert cells[0]["n_distinct"] == cells[1]["n_distinct"]
