@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     opt.add_argument("-nb-cores", dest="nb_cores", type=int, default=0,
                      help="number of host pipeline cores (0 = all)")
     opt.add_argument("-verbose", type=int, default=1, help="verbosity level")
+    opt.add_argument("-engine", default="auto",
+                     choices=["auto", "simple", "dist"],
+                     help="counting engine: static-shape mesh engine (dist), "
+                          "dynamic single-device (simple), or auto")
     opt.add_argument("-resume", action="store_true",
                      help="resume a multi-pass run from <out>.ckpt.h5")
     opt.add_argument("-no-checkpoint", dest="no_checkpoint",
@@ -86,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         verbose=args.verbose,
         resume=args.resume,
         checkpoint=not args.no_checkpoint,
+        engine=args.engine,
     )
     try:
         execute(params)

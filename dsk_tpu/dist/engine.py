@@ -107,10 +107,15 @@ class DistCountEngine:
         table_cap: int = 1 << 20,
         nb_bins: int = 10000,
         n_passes: int = 1,
+        per_bank: bool = False,
     ):
         self.k = k
         self.n_passes = n_passes
+        self.per_bank = per_bank
         self.W = codec.words_per_kmer(k)
+        # per-bank mode threads the sub-bank id through the pipeline as an
+        # extra least-significant key word (SURVEY.md C7 multi-bank needs)
+        self.WK = self.W + (1 if per_bank else 0)
         self.mesh = mesh or default_mesh()
         self.n = self.mesh.devices.size
         self.row_len = max(row_len, k)
@@ -144,18 +149,27 @@ class DistCountEngine:
 
     def _build(self):
         k, W, plan, mesh = self.k, self.W, self.plan, self.mesh
+        WK = self.WK
+        per_bank = self.per_bank
         n = plan.n
         n_passes = self.n_passes
         use_pallas = self.use_pallas
 
-        def extract_flat(batch):
-            """(rows, L) codes -> ((W, m) planes, (m,) int32 weights)."""
+        def extract_flat(batch, bids):
+            """(rows, L) codes -> ((WK, m) planes, (m,) int32 weights).
+
+            In per-bank mode the last plane is the row's sub-bank id
+            (SENTINEL on dead rows so sentinels stay full-sentinel)."""
             if use_pallas:
                 planes, valid = extract_canonical_planes_tpu(batch, k)
             else:
                 planes, valid = extract_canonical_planes_jnp(batch, k)
             flat = planes.reshape(W, plan.m)
             weights = valid.reshape(plan.m).astype(jnp.int32)
+            if per_bank:
+                bank_row = jnp.repeat(bids.astype(jnp.uint32), plan.nw)
+                bank_row = jnp.where(weights > 0, bank_row, SENTINEL)
+                flat = jnp.concatenate([flat, bank_row[None, :]], axis=0)
             return flat, weights
 
         def maybe_pass_filter(flat, weights, pass_sel):
@@ -164,41 +178,47 @@ class DistCountEngine:
             # multi-pass selection (reference n_iters, doc/paper.tex:74);
             # rejected rows become full sentinels so they cannot occupy
             # table capacity
+            # pass hash over the W kmer words ONLY (never the bank plane):
+            # pass tables must stay disjoint in KMER space for the merge
             sel = (
-                pass_hash_planes(tuple(flat)) % jnp.uint32(n_passes)
+                pass_hash_planes(tuple(flat[:W])) % jnp.uint32(n_passes)
             ) == pass_sel.astype(jnp.uint32)
             keep = sel & (weights > 0)
             flat = jnp.where(keep[None, :], flat, SENTINEL)
             return flat, jnp.where(keep, weights, 0)
 
-        def fill_shard(batch, buf_p, buf_c, over, slot, pass_sel):
+        def fill_shard(batch, bids, buf_p, buf_c, over, slot, pass_sel):
             """Single-chip fast path: extract + raw append (no routing)."""
-            flat, weights = extract_flat(batch)
+            flat, weights = extract_flat(batch, bids)
             flat, weights = maybe_pass_filter(flat, weights, pass_sel)
             off = slot * plan.recv_per_batch
             buf_p = jax.lax.dynamic_update_slice(buf_p, flat, (0, off))
             buf_c = jax.lax.dynamic_update_slice(buf_c, weights, (off,))
             return buf_p, buf_c, over
 
-        def route_shard(batch, buf_p, buf_c, over, slot, pass_sel):
+        def route_shard(batch, bids, buf_p, buf_c, over, slot, pass_sel):
             """Multi-chip: extract + local dedup + hash-route + append.
 
-            batch: (rows_per_chip, L) uint8;  buf_p: (W, buf_cap);
+            batch: (rows_per_chip, L) uint8;  buf_p: (WK, buf_cap);
             buf_c: (buf_cap,); over: (1,) int32; slot/pass_sel replicated.
             """
-            flat, weights = extract_flat(batch)
+            flat, weights = extract_flat(batch, bids)
             flat, weights = maybe_pass_filter(flat, weights, pass_sel)
 
             # local pre-aggregation: collapse duplicate kmers BEFORE routing
             # so a hot kmer travels as one (kmer, weight) record per batch
             planes, counts, _ = sum_by_key_planes(tuple(flat), weights)
 
-            owner = (kmer_hash_planes(planes) % jnp.uint32(n)).astype(jnp.int32)
+            # owner by the W kmer words only: all banks' copies of a kmer
+            # land on the same chip (required for per-kmer grouping)
+            owner = (
+                kmer_hash_planes(planes[:W]) % jnp.uint32(n)
+            ).astype(jnp.int32)
             owner = jnp.where(counts > 0, owner, n)  # sentinels sort last
 
             # sort by owner, carrying (planes, counts)
             s = jax.lax.sort((owner,) + planes + (counts,), num_keys=1)
-            sowner, skey, scounts = s[0], s[1 : 1 + W], s[1 + W]
+            sowner, skey, scounts = s[0], s[1 : 1 + WK], s[1 + WK]
 
             # position within owner group (owner-sorted -> group starts
             # are where owner changes; cummax gives each row its start)
@@ -217,7 +237,7 @@ class DistCountEngine:
             )
             recv_c = jax.lax.all_to_all(send_c, AXIS, split_axis=0, concat_axis=0)
             recv_p = []
-            for w in range(W):
+            for w in range(WK):
                 send_w = (
                     jnp.full((n, C), SENTINEL)
                     .at[sowner, pos]
@@ -244,14 +264,14 @@ class DistCountEngine:
         def flush_shard(buf_p, buf_c, tab_p, tab_c, tover):
             """Per-chip: merge buffer + running table -> new table."""
             planes = tuple(
-                jnp.concatenate([buf_p[w], tab_p[w]]) for w in range(W)
+                jnp.concatenate([buf_p[w], tab_p[w]]) for w in range(WK)
             )
             weights = jnp.concatenate([buf_c, tab_c])
             uniq, counts, n_uniq = sum_by_key_planes(planes, weights)
             tover = tover + (n_uniq > plan.table_cap).astype(jnp.int32)[None]
             new_p = jnp.stack([u[: plan.table_cap] for u in uniq], axis=0)
             new_c = counts[: plan.table_cap]
-            buf_p = jnp.full((W, plan.buf_cap), SENTINEL)
+            buf_p = jnp.full((WK, plan.buf_cap), SENTINEL)
             buf_c = jnp.zeros((plan.buf_cap,), jnp.int32)
             return buf_p, buf_c, new_p, new_c, tover
 
@@ -274,10 +294,10 @@ class DistCountEngine:
         self._route = jax.jit(
             shmap(
                 step,
-                in_specs=(pb, pp, pb, pb, pr, pr),
+                in_specs=(pb, pb, pp, pb, pb, pr, pr),
                 out_specs=(pp, pb, pb),
             ),
-            donate_argnums=(1, 2, 3),
+            donate_argnums=(2, 3, 4),
         )
         self._flush = jax.jit(
             shmap(
@@ -302,17 +322,18 @@ class DistCountEngine:
         streaming loop free of compile stalls."""
         import jax.numpy as _jnp
 
-        plan, W = self.plan, self.W
+        plan, WK = self.plan, self.WK
         rows = self.rows_per_chip * plan.n
         b = jax.ShapeDtypeStruct((rows, self.row_len), _jnp.uint8)
-        bp = jax.ShapeDtypeStruct((W, plan.n * plan.buf_cap), _jnp.uint32)
+        bi = jax.ShapeDtypeStruct((rows,), _jnp.int32)
+        bp = jax.ShapeDtypeStruct((WK, plan.n * plan.buf_cap), _jnp.uint32)
         bc = jax.ShapeDtypeStruct((plan.n * plan.buf_cap,), _jnp.int32)
-        tp = jax.ShapeDtypeStruct((W, plan.n * plan.table_cap), _jnp.uint32)
+        tp = jax.ShapeDtypeStruct((WK, plan.n * plan.table_cap), _jnp.uint32)
         tc = jax.ShapeDtypeStruct((plan.n * plan.table_cap,), _jnp.int32)
         ov = jax.ShapeDtypeStruct((plan.n,), _jnp.int32)
         sc = jax.ShapeDtypeStruct((), _jnp.int32)
         for name, fn, args in (
-            ("route", "_route", (b, bp, bc, ov, sc, sc)),
+            ("route", "_route", (b, bi, bp, bc, ov, sc, sc)),
             ("flush", "_flush", (bp, bc, tp, tc, ov)),
             ("hist", "_hist", (tc,)),
         ):
@@ -326,7 +347,7 @@ class DistCountEngine:
         return self
 
     def _init_state(self):
-        plan, W = self.plan, self.W
+        plan, W = self.plan, self.WK
         mesh = self.mesh
         sh_p = NamedSharding(mesh, P(None, AXIS))
         sh_b = NamedSharding(mesh, P(AXIS))
@@ -349,22 +370,58 @@ class DistCountEngine:
 
     # -- driver ----------------------------------------------------------
 
-    def count(self, bank: Bank | str) -> CountResult:
+    def count(
+        self,
+        bank: Bank | str,
+        per_bank: bool = False,
+        n_passes: int | None = None,
+        cache_dir: str | None = None,
+        done_passes: dict[int, CountResult] | None = None,
+        on_pass=None,
+    ) -> CountResult:
+        """Same driver contract as CountEngine.count (checkpoint hooks,
+        batch cache, prefetch).  per_bank requires an engine constructed
+        with per_bank=True (the bank-id key word changes program shapes)."""
+        if per_bank and not self.per_bank:
+            raise ValueError(
+                "per-bank counting needs DistCountEngine(per_bank=True)"
+            )
         if isinstance(bank, str):
             bank = open_bank(bank)
-        if self.n_passes <= 1:
-            return self.count_stream(
-                batch_iterator(bank, self.k, self.batch_rows, self.row_len),
+        n_passes = self.n_passes if n_passes is None else n_passes
+        if n_passes != self.n_passes:
+            raise ValueError(
+                f"engine was built for n_passes={self.n_passes}, got {n_passes}"
+            )
+        from dsk_tpu.io.prefetch import prefetch
+
+        if n_passes <= 1:
+            res = self.count_stream(
+                prefetch(
+                    batch_iterator(bank, self.k, self.batch_rows, self.row_len)
+                ),
                 nb_banks=bank.nb_banks,
             )
+            if on_pass is not None:
+                on_pass(0, res)
+            return res
         from dsk_tpu.engine.counter import multipass_batches
 
-        results = [
-            self.count_stream(batches, nb_banks=bank.nb_banks, pass_id=p)
-            for p, batches in multipass_batches(
-                bank, self.k, self.batch_rows, self.row_len, self.n_passes
-            )
-        ]
+        done_passes = done_passes or {}
+        results = []
+        for p, batches in multipass_batches(
+            bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir
+        ):
+            if p in done_passes:
+                if p == 0 and len(done_passes) < n_passes:
+                    for _ in batches:
+                        pass
+                results.append(done_passes[p])
+                continue
+            res = self.count_stream(batches, nb_banks=bank.nb_banks, pass_id=p)
+            if on_pass is not None:
+                on_pass(p, res)
+            results.append(res)
         return merge_pass_results(results)
 
     def count_stream(
@@ -393,10 +450,18 @@ class DistCountEngine:
         for batch in batches:
             if single:
                 batch_dev = jax.device_put(batch.codes, device0)
+                bids_dev = jax.device_put(
+                    np.ascontiguousarray(batch.bank_ids, np.int32), device0
+                )
             else:
                 batch_dev = jax.device_put(batch.codes, batch_sharding)
+                bids_dev = jax.device_put(
+                    np.ascontiguousarray(batch.bank_ids, np.int32),
+                    batch_sharding,
+                )
             buf_p, buf_c, over = self._route(
-                batch_dev, buf_p, buf_c, over, jnp.int32(slot), jnp.int32(pass_id)
+                batch_dev, bids_dev, buf_p, buf_c, over,
+                jnp.int32(slot), jnp.int32(pass_id),
             )
             n_bases += batch.n_bases
             n_reads += batch.n_reads
@@ -423,8 +488,6 @@ class DistCountEngine:
                 f"chip; raise table_cap (or use more chips/passes)"
             )
 
-        hist = np.zeros(self.nb_bins + 1, np.int64)
-        hist += np.asarray(self._hist(tab_c), dtype=np.int64)
         info = {
             "n_bases": n_bases,
             "n_reads": n_reads,
@@ -432,21 +495,42 @@ class DistCountEngine:
             "n_chips": plan.n,
         }
 
-        if not finalize:
-            self._last_state = (tab_p, tab_c)
-            info["n_distinct_device"] = int(hist[1:].sum())
+        if not self.per_bank:
+            hist = np.zeros(self.nb_bins + 1, np.int64)
+            hist += np.asarray(self._hist(tab_c), dtype=np.int64)
+            if not finalize:
+                self._last_state = (tab_p, tab_c)
+                info["n_distinct_device"] = int(hist[1:].sum())
+                return CountResult(
+                    k=k,
+                    kmers=np.empty((0, W), np.uint32),
+                    counts=np.empty((0,), np.int32),
+                    histogram=hist,
+                    info=info,
+                )
+            kmers, counts, sizes = self.gather_tables(tab_p, tab_c)
+            info["partition_sizes"] = sizes
             return CountResult(
-                k=k,
-                kmers=np.empty((0, W), np.uint32),
-                counts=np.empty((0,), np.int32),
-                histogram=hist,
-                info=info,
+                k=k, kmers=kmers, counts=counts, histogram=hist, info=info
             )
 
-        kmers, counts, sizes = self.gather_tables(tab_p, tab_c)
+        # per-bank finalize: gather (kmer, bank) rows, group per kmer on
+        # host (the device hist counts pairs, so histogram is host-built
+        # from the grouped totals)
+        kmers, counts, bank_mat, sizes = self.gather_tables_per_bank(
+            tab_p, tab_c, nb_banks
+        )
+        from dsk_tpu.engine import processors
+
+        hist = processors.histogram(counts, self.nb_bins)
         info["partition_sizes"] = sizes
         return CountResult(
-            k=k, kmers=kmers, counts=counts, histogram=hist, info=info
+            k=k,
+            kmers=kmers,
+            counts=counts.astype(np.int32),
+            histogram=hist,
+            bank_counts=bank_mat,
+            info=info,
         )
 
     def gather_tables(self, tab_p=None, tab_c=None):
@@ -468,3 +552,27 @@ class DistCountEngine:
         kmers = np.concatenate(parts_w, axis=0)
         counts = np.concatenate(parts_c, axis=0)
         return kmers, counts, sizes
+
+    def gather_tables_per_bank(self, tab_p, tab_c, nb_banks: int):
+        """Per-bank gather: (kmer, bank) rows -> distinct kmers with
+        total + per-bank abundances, per chip partition."""
+        from dsk_tpu.engine.counter import _group_by_kmer
+
+        W, WK, plan = self.W, self.WK, self.plan
+        tp = np.asarray(tab_p).reshape(WK, plan.n, plan.table_cap)
+        tc = np.asarray(tab_c).reshape(plan.n, plan.table_cap)
+        parts_k, parts_c, parts_b, sizes = [], [], [], []
+        for p in range(plan.n):
+            mask = tc[p] > 0
+            rows = tp[:, p, :].T[mask]  # (n_live, WK), sorted by (kmer, bank)
+            kk, cc, bb = _group_by_kmer(rows, tc[p][mask], W, nb_banks)
+            parts_k.append(kk)
+            parts_c.append(cc)
+            parts_b.append(bb)
+            sizes.append(int(kk.shape[0]))
+        return (
+            np.concatenate(parts_k, axis=0),
+            np.concatenate(parts_c, axis=0),
+            np.concatenate(parts_b, axis=0),
+            sizes,
+        )

@@ -159,8 +159,12 @@ class CountEngine:
         if isinstance(bank, str):
             bank = open_bank(bank)
         if n_passes <= 1:
+            from dsk_tpu.io.prefetch import prefetch
+
             res = self.count_stream(
-                batch_iterator(bank, self.k, self.batch_rows, self.row_len),
+                prefetch(
+                    batch_iterator(bank, self.k, self.batch_rows, self.row_len)
+                ),
                 nb_banks=bank.nb_banks,
                 per_bank=per_bank,
             )
@@ -310,15 +314,17 @@ def multipass_batches(
 
     from dsk_tpu.io import cache as bcache
 
+    from dsk_tpu.io.prefetch import prefetch
+
     d = cache_dir or tempfile.gettempdir()
     path = os.path.join(d, f"dsk_tpu_cache_{uuid.uuid4().hex}.bin")
     try:
         writer = bcache.BatchCacheWriter(path, k, batch_rows, row_len)
         yield 0, bcache.teeing_iterator(
-            batch_iterator(bank, k, batch_rows, row_len), writer
+            prefetch(batch_iterator(bank, k, batch_rows, row_len)), writer
         )
         for p in range(1, n_passes):
-            yield p, bcache.read_batches(path)
+            yield p, prefetch(bcache.read_batches(path))
     finally:
         if os.path.exists(path):
             os.unlink(path)
@@ -341,6 +347,8 @@ def merge_pass_results(results: list[CountResult]) -> CountResult:
         bank_counts = bank_counts[order]
     hist = np.sum([r.histogram for r in results], axis=0)
     info = dict(first.info)
+    # the merge re-sorts globally, so per-pass partition boundaries are gone
+    info.pop("partition_sizes", None)
     info["n_bases"] = first.info.get("n_bases", 0)
     info["n_passes"] = len(results)
     return CountResult(

@@ -58,6 +58,8 @@ def sample_distinct_ratio(
     Lazy import of the engine avoids a module cycle (planner is imported
     by run.py which imports counter).
     """
+    import jax
+
     from dsk_tpu.engine.counter import CountEngine
     from dsk_tpu.io.batch import batch_iterator
 
@@ -72,7 +74,17 @@ def sample_distinct_ratio(
                 return
 
     eng = CountEngine(k, batch_rows=rows, row_len=row_len)
-    res = eng.count_stream(limited())
+    # the sample is tiny: run it on the host CPU backend so planning never
+    # pays TPU (remote) compiles before the real engine is even built
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            res = eng.count_stream(limited())
+    else:  # pragma: no cover
+        res = eng.count_stream(limited())
     windows = max(int(res.counts.sum()), 1)
     return res.info.get("n_bases", windows), res.n_distinct / windows
 

@@ -49,6 +49,7 @@ class RunParams:
     row_len: int = 256
     resume: bool = False     # reuse <prefix>.ckpt.h5 pass checkpoints
     checkpoint: bool = True  # write per-pass checkpoints on multi-pass runs
+    engine: str = "auto"     # auto | simple | dist
 
     def out_prefix(self) -> str:
         if self.out:
@@ -73,6 +74,54 @@ class RunParams:
                 f"-solidity-custom has {vec.shape[0]} entries for {nb_banks} banks"
             )
         return vec
+
+
+def _select_engine(params: "RunParams", plan, need_per_bank: bool, progress):
+    """Pick the counting engine (SURVEY.md C1's role).
+
+    The static-shape mesh engine (DistCountEngine) is the production hot
+    path: on TPU (or any multi-device mesh) its programs compile once.
+    The dynamic-shape CountEngine covers per-bank modes (histo2D /
+    solidity kinds) and small CPU runs where flexibility beats compile
+    stability.
+    """
+    choice = params.engine
+    if choice == "auto":
+        try:
+            import jax
+
+            devs = jax.devices()
+            use_dist = devs[0].platform == "tpu" or len(devs) > 1
+        except Exception:
+            use_dist = False
+        choice = "dist" if use_dist else "simple"
+    if choice == "dist":
+        from dsk_tpu.dist.engine import DistCountEngine
+
+        # per-bank tables hold (kmer, bank) pairs: give headroom for the
+        # worst case (every kmer in every bank)
+        cap = plan.table_cap
+        if need_per_bank:
+            nb = len(params.file.split(","))
+            cap = min(cap * max(nb, 2), cap * 8)
+        engine = DistCountEngine(
+            params.kmer_size,
+            batch_rows=params.batch_rows,
+            row_len=params.row_len,
+            table_cap=cap,
+            nb_bins=params.histo_max,
+            n_passes=plan.n_passes,
+            per_bank=need_per_bank,
+        )
+        engine.compile(progress=lambda m: progress.log(f"[dsk_tpu] {m}", 2))
+        return engine
+    return CountEngine(
+        params.kmer_size,
+        batch_rows=params.batch_rows,
+        row_len=params.row_len,
+        flush_items=plan.flush_items,
+        nb_bins=params.histo_max,
+    )
 
 
 @dataclass
@@ -107,17 +156,12 @@ def execute(params: RunParams) -> RunOutput:
             batch_rows=params.batch_rows,
             row_len=params.row_len,
         )
-    engine = CountEngine(
-        k,
-        batch_rows=params.batch_rows,
-        row_len=params.row_len,
-        flush_items=plan.flush_items,
-        nb_bins=params.histo_max,
-    )
+    engine = _select_engine(params, plan, need_per_bank, progress)
     progress.log(
         f"[dsk_tpu] counting k={k} over {bank.nb_banks} bank(s): {params.file} "
         f"(~{plan.est_bases} bases, {plan.n_passes} pass(es), "
-        f"~{plan.est_distinct} distinct kmers expected)"
+        f"~{plan.est_distinct} distinct kmers expected, "
+        f"{type(engine).__name__})"
     )
     prefix_early = params.out_prefix()
     ckpt = None
@@ -183,9 +227,22 @@ def execute(params: RunParams) -> RunOutput:
             **result.info,
         }
         with OutputStore.create(h5_path, k) as store:
-            store.write_solid_partition(
-                0, result.kmers[solid_mask], result.counts[solid_mask]
-            )
+            sizes = result.info.get("partition_sizes")
+            if sizes:
+                # mesh engine: partition p = owner chip p (dsk/solid/<p>)
+                off = 0
+                for p, sz in enumerate(sizes):
+                    m = solid_mask[off : off + sz]
+                    store.write_solid_partition(
+                        p,
+                        result.kmers[off : off + sz][m],
+                        result.counts[off : off + sz][m],
+                    )
+                    off += sz
+            else:
+                store.write_solid_partition(
+                    0, result.kmers[solid_mask], result.counts[solid_mask]
+                )
             store.write_histogram(result.histogram)
             info["time"] = timers.as_properties()
             store.set_run_info(info)

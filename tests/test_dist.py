@@ -69,3 +69,42 @@ def test_dist_overflow_detection(data_dir):
     )
     with pytest.raises(RuntimeError, match="overflow"):
         eng.count(str(data_dir / "read50x_ref10K_e001.fasta.gz"))
+
+
+def test_dist_per_bank(data_dir):
+    from dsk_tpu import oracle as _oracle
+
+    files = ",".join(str(data_dir / f"c{i}.fasta.gz") for i in (1, 2, 3))
+    eng = DistCountEngine(
+        27, batch_rows=256, row_len=128, table_cap=1 << 14, per_bank=True
+    )
+    res = eng.count(files, per_bank=True)
+    assert res.bank_counts is not None and res.bank_counts.shape[1] == 3
+    np.testing.assert_array_equal(
+        res.bank_counts.sum(axis=1), res.counts.astype(np.int64)
+    )
+    expected = _oracle.count_bank_per_bank(files, 27)
+    got = {
+        codec.words_to_value(row): vec
+        for row, vec in zip(res.kmers, res.bank_counts)
+    }
+    assert set(got) == set(expected)
+    for v, vec in expected.items():
+        np.testing.assert_array_equal(got[v], vec)
+    # totals histogram consistent with totals
+    assert int(res.histogram[1:].sum()) == res.n_distinct
+
+
+def test_dist_per_bank_multipass(data_dir):
+    files = ",".join(str(data_dir / f"c{i}.fasta.gz") for i in (1, 2))
+    a = DistCountEngine(
+        27, batch_rows=256, row_len=128, table_cap=1 << 14,
+        per_bank=True, n_passes=2,
+    ).count(files, per_bank=True)
+    b = DistCountEngine(
+        27, batch_rows=256, row_len=128, table_cap=1 << 14, per_bank=True
+    ).count(files, per_bank=True)
+    assert result_as_dict(a) == result_as_dict(b)
+    ga = {codec.words_to_value(r): tuple(v) for r, v in zip(a.kmers, a.bank_counts)}
+    gb = {codec.words_to_value(r): tuple(v) for r, v in zip(b.kmers, b.bank_counts)}
+    assert ga == gb

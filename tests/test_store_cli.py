@@ -200,3 +200,45 @@ def test_histo2d_run(data_dir, tmp_path):
     pb = oracle.count_bank_per_bank(files, 27)
     n_read_kmers = sum(1 for vec in pb.values() if vec[1:].sum() >= 1)
     assert total == n_read_kmers
+
+
+def test_end_to_end_dist_engine(data_dir, tmp_path):
+    # the mesh engine through the full run path (8-device CPU mesh)
+    params = RunParams(
+        file=str(data_dir / "read50x_ref10K_e001.fasta.gz"),
+        kmer_size=27,
+        abundance_min=1,
+        out=str(tmp_path / "k27d"),
+        verbose=0,
+        batch_rows=512,
+        row_len=128,
+        engine="dist",
+    )
+    out = execute(params)
+    with OutputStore.load(out.h5_path) as store:
+        expected = load_histo_fixture(data_dir / "k27.histo")
+        hist = store.histogram()
+        assert {a: int(hist[a]) for a in range(1, 10001)} == expected
+        # 8 partitions: one per mesh chip
+        assert store.nb_partitions == 8
+        assert dict(store.iter_items()) == oracle.count_bank(params.file, 27)
+
+
+def test_dsk2ascii_fasta_fastq_modes(data_dir, tmp_path):
+    params = RunParams(
+        file=str(data_dir / "shortread.fasta"), kmer_size=15,
+        abundance_min=1, out=str(tmp_path / "s"), verbose=0,
+    )
+    execute(params)
+    from dsk_tpu.store import text as store_text
+    import io as _io
+
+    with OutputStore.load(str(tmp_path / "s.h5")) as store:
+        buf = _io.StringIO()
+        store_text.dump_ascii(store, buf, fasta=True)
+        assert buf.getvalue() == ">0__1\nACTGTACGTATAAGA\n"
+        buf = _io.StringIO()
+        store_text.dump_ascii(store, buf, fastq=True)
+        lines = buf.getvalue().splitlines()
+        assert lines[0].startswith("@") and lines[1] == "ACTGTACGTATAAGA"
+        assert lines[2] == "+" and len(lines[3]) == 15
