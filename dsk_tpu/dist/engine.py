@@ -541,8 +541,7 @@ class DistCountEngine:
         if tab_p is None:
             tab_p, tab_c = self._last_state
         W, plan = self.W, self.plan
-        tp = np.asarray(tab_p).reshape(W, plan.n, plan.table_cap)
-        tc = np.asarray(tab_c).reshape(plan.n, plan.table_cap)
+        tp, tc = _live_prefix(tab_p, tab_c, W, plan)
         parts_w, parts_c, sizes = [], [], []
         for p in range(plan.n):
             mask = tc[p] > 0
@@ -559,8 +558,7 @@ class DistCountEngine:
         from dsk_tpu.engine.counter import _group_by_kmer
 
         W, WK, plan = self.W, self.WK, self.plan
-        tp = np.asarray(tab_p).reshape(WK, plan.n, plan.table_cap)
-        tc = np.asarray(tab_c).reshape(plan.n, plan.table_cap)
+        tp, tc = _live_prefix(tab_p, tab_c, WK, plan)
         parts_k, parts_c, parts_b, sizes = [], [], [], []
         for p in range(plan.n):
             mask = tc[p] > 0
@@ -576,3 +574,22 @@ class DistCountEngine:
             np.concatenate(parts_b, axis=0),
             sizes,
         )
+
+
+def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan):
+    """Download only the live prefix of each chip's table.
+
+    sum_by_key compacts live keys to the front of every chip table, so
+    rows beyond the per-chip live count are sentinels.  Slicing on device
+    before the transfer matters when device->host bandwidth is scarce
+    (the axon tunnel moves ~9 MB/s; a full 8M-slot table is ~100 MB).
+    Returns host arrays shaped (WK, n, max_live) and (n, max_live).
+    """
+    n, cap = plan.n, plan.table_cap
+    live = np.asarray(
+        jnp.sum((tab_c > 0).reshape(n, cap), axis=1)
+    )
+    m = max(int(live.max()) if live.size else 0, 1)
+    tp = np.asarray(tab_p.reshape(WK, n, cap)[:, :, :m])
+    tc = np.asarray(tab_c.reshape(n, cap)[:, :m])
+    return tp, tc

@@ -27,6 +27,7 @@ from dsk_tpu.kmer import codec
 # operand copies (keys + payload, double-buffered).
 SORT_SCRATCH_FACTOR = 6
 TABLE_FILL_TARGET = 0.8  # plan tables at 80% occupancy (hash-split jitter)
+MAX_TABLE_SLOTS = 1 << 25  # per-chip table ceiling: prefer passes beyond it
 
 
 @dataclass
@@ -34,6 +35,7 @@ class ResourcePlan:
     n_passes: int
     table_cap: int       # per chip, per pass (slots)
     flush_items: int     # pending windows before a merge flush
+    buf_batches: int     # mesh-engine flush cadence (buffer ~ table size)
     batch_rows: int
     row_len: int
     est_bases: int
@@ -45,48 +47,80 @@ class ResourcePlan:
             "nb_passes": self.n_passes,
             "table_cap": self.table_cap,
             "flush_items": self.flush_items,
+            "buf_batches": self.buf_batches,
             "est_bases": self.est_bases,
             "est_distinct_kmers": self.est_distinct,
         }
 
 
-def sample_distinct_ratio(
-    bank: Bank, k: int, sample_bases: int = 2 << 20
-) -> tuple[int, float]:
-    """Count a bank prefix sample; return (sampled_bases, distinct/window).
+def sample_distinct_estimate(
+    bank: Bank, k: int, total_windows: int, sample_bases: int = 2 << 20
+) -> int:
+    """Estimate total distinct kmers from a two-point prefix sample.
 
-    Lazy import of the engine avoids a module cycle (planner is imported
-    by run.py which imports counter).
+    Plain linear extrapolation of distinct/window from a small sample
+    wildly overestimates for high-coverage data (the distinct curve
+    saturates).  Two nested prefixes give the MARGINAL new-kmer rate at
+    the end of the sample; extrapolating with that rate is still an
+    overestimate (the rate keeps decaying) but a far tighter one — the
+    safe direction (extra capacity / passes, never overflow).
+
+    Runs on the host CPU backend: planning must never pay TPU (remote)
+    compiles before the real engine is even built.
     """
-    import jax
+    s1, d1, s2, d2 = _host_distinct_two_point(bank, k, sample_bases)
+    if s2 <= s1:  # sample covered the whole input: exact
+        return d2
+    marginal = (d2 - d1) / max(s2 - s1, 1)
+    est = d2 + marginal * max(0, total_windows - s2) * 1.2
+    return int(min(max(est, d2), total_windows))
 
-    from dsk_tpu.engine.counter import CountEngine
-    from dsk_tpu.io.batch import batch_iterator
 
-    rows, row_len = 256, 256
+def _host_distinct_two_point(
+    bank: Bank, k: int, limit_bases: int
+) -> tuple[int, int, int, int]:
+    """(windows_half, distinct_half, windows_full, distinct_full) of a bank
+    prefix, host numpy.
 
-    def limited():
-        seen = 0
-        for batch in batch_iterator(bank, k, rows, row_len):
-            yield batch
-            seen += batch.n_bases
-            if seen >= sample_bases:
-                return
-
-    eng = CountEngine(k, batch_rows=rows, row_len=row_len)
-    # the sample is tiny: run it on the host CPU backend so planning never
-    # pays TPU (remote) compiles before the real engine is even built
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None:
-        with jax.default_device(cpu):
-            res = eng.count_stream(limited())
-    else:  # pragma: no cover
-        res = eng.count_stream(limited())
-    windows = max(int(res.counts.sum()), 1)
-    return res.info.get("n_bases", windows), res.n_distinct / windows
+    All sampled reads are concatenated with a single invalid separator
+    (split-at-invalid semantics make windows never cross reads) so the
+    whole sample is ONE vectorized canonical_windows sweep; the half-point
+    measurement is a slice of the same arrays.  k > 32 shrinks the sample
+    (the codec's multi-word path is python-int; estimates don't need
+    scale).
+    """
+    big_k = k > 32
+    if big_k:
+        limit_bases = min(limit_bases, 1 << 19)
+    parts: list[np.ndarray] = []
+    sep = np.array([0xFF], dtype=np.uint8)
+    seen = 0
+    for _bank_id, seq in bank.iter_sequences():
+        codes = codec.encode_bytes(seq.data)
+        parts.append(codes)
+        parts.append(sep)
+        seen += codes.shape[0]
+        if seen >= limit_bases:
+            break
+    if not parts:
+        return 0, 0, 0, 0
+    cat = np.concatenate(parts)
+    if cat.shape[0] < k:
+        return 0, 0, 0, 0
+    v, ok = codec.canonical_windows(cat, k)
+    half_mask = np.arange(ok.shape[0]) < (cat.shape[0] // 2)
+    if big_k:
+        full = set(int(x) for x in v[ok])
+        halfs = set(int(x) for x in v[ok & half_mask])
+        return int((ok & half_mask).sum()), len(halfs), int(ok.sum()), len(full)
+    vals = np.asarray(v[ok], dtype=np.uint64)
+    half = np.asarray(v[ok & half_mask], dtype=np.uint64)
+    return (
+        int((ok & half_mask).sum()),
+        int(np.unique(half).shape[0]),
+        int(ok.sum()),
+        int(np.unique(vals).shape[0]),
+    )
 
 
 def plan_resources(
@@ -105,8 +139,13 @@ def plan_resources(
     est_windows = max(est_bases - int(est_bases / max(mean_len, k)) * (k - 1), 1)
 
     if sample and est_bases > (1 << 22):
-        _, ratio = sample_distinct_ratio(bank, k)
-        est_distinct = min(int(est_windows * ratio * 1.25), est_windows)
+        # the marginal new-kmer rate only drops once the sample spans a few
+        # coverage multiples of the underlying genome — sample ~1/8th of
+        # the input (capped) rather than a fixed prefix
+        sample_bases = int(min(max(est_bases // 8, 2 << 20), 32 << 20))
+        est_distinct = sample_distinct_estimate(
+            bank, k, est_windows, sample_bases=sample_bases
+        )
     else:
         est_distinct = est_windows  # upper bound, no sampling needed/worth it
 
@@ -114,6 +153,10 @@ def plan_resources(
     budget_slots = max(
         (max_memory_mb << 20) // slot_bytes // max(n_chips, 1), 1 << 16
     )
+    # cap the per-chip table: beyond this, extra passes beat giant sorts
+    # (compile time and flush latency both scale with the table; the
+    # 2-bit batch cache makes re-reads cheap — reference n_iters design)
+    budget_slots = min(budget_slots, MAX_TABLE_SLOTS)
     per_chip_distinct = -(-est_distinct // max(n_chips, 1))
     n_passes = max(
         1, -(-per_chip_distinct // int(budget_slots * TABLE_FILL_TARGET))
@@ -122,10 +165,15 @@ def plan_resources(
     table_cap = 1 << max(16, int(np.ceil(np.log2(per_pass / TABLE_FILL_TARGET + 1))))
     table_cap = min(table_cap, budget_slots * 2)
     flush_items = min(max(table_cap, 1 << 20), 1 << 23)
+    # mesh-engine flush cadence: keep the buffer at least half the table
+    # so a flush amortizes the table re-sort over comparable new volume
+    windows_per_batch = max(batch_rows * (row_len - k + 1), 1)
+    buf_batches = int(np.clip(table_cap // (2 * windows_per_batch), 8, 128))
     return ResourcePlan(
         n_passes=n_passes,
         table_cap=table_cap,
         flush_items=flush_items,
+        buf_batches=buf_batches,
         batch_rows=batch_rows,
         row_len=row_len,
         est_bases=est_bases,

@@ -109,6 +109,7 @@ def _select_engine(params: "RunParams", plan, need_per_bank: bool, progress):
             batch_rows=params.batch_rows,
             row_len=params.row_len,
             table_cap=cap,
+            buf_batches=plan.buf_batches,
             nb_bins=params.histo_max,
             n_passes=plan.n_passes,
             per_bank=need_per_bank,
