@@ -69,7 +69,7 @@ def main() -> None:
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=8,
+        buf_batches=16,  # buffer ~4x table: flush re-sort amortized
         table_cap=1 << 21,
     )
     import sys

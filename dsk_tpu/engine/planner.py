@@ -165,10 +165,11 @@ def plan_resources(
     table_cap = 1 << max(16, int(np.ceil(np.log2(per_pass / TABLE_FILL_TARGET + 1))))
     table_cap = min(table_cap, budget_slots * 2)
     flush_items = min(max(table_cap, 1 << 20), 1 << 23)
-    # mesh-engine flush cadence: keep the buffer at least half the table
-    # so a flush amortizes the table re-sort over comparable new volume
+    # mesh-engine flush cadence: buffer ~2x the table, so each flush's
+    # (buf + table) sort is amortized over mostly-new volume (sort cost
+    # per record = (buf+tab)/buf ~ 1.5x)
     windows_per_batch = max(batch_rows * (row_len - k + 1), 1)
-    buf_batches = int(np.clip(table_cap // (2 * windows_per_batch), 8, 128))
+    buf_batches = int(np.clip(2 * table_cap // windows_per_batch, 8, 256))
     return ResourcePlan(
         n_passes=n_passes,
         table_cap=table_cap,

@@ -150,10 +150,21 @@ def execute(params: RunParams) -> RunOutput:
     )
 
     with timers.phase("configure"):
+        from dsk_tpu.utils import sysinfo
+
+        limits = sysinfo.auto_limits(params.out_tmp)
+        max_memory = params.max_memory
+        if max_memory <= 0:  # 0 = auto-detect (reference README.md:130)
+            max_memory = limits["max_memory_mb"]
+            progress.log(
+                f"[dsk_tpu] auto limits: memory {max_memory} MB, "
+                f"disk {limits['max_disk_mb']} MB, "
+                f"{limits['nb_cores']} cores", 2
+            )
         plan = plan_resources(
             bank,
             k,
-            max_memory_mb=params.max_memory,
+            max_memory_mb=max_memory,
             batch_rows=params.batch_rows,
             row_len=params.row_len,
         )
@@ -225,6 +236,7 @@ def execute(params: RunParams) -> RunOutput:
             "nb_distinct_kmers": result.n_distinct,
             "nb_solid_kmers": n_solid,
             "config": plan.as_properties(),
+            "system": limits,
             **result.info,
         }
         with OutputStore.create(h5_path, k) as store:
