@@ -56,6 +56,21 @@ def build_parser() -> argparse.ArgumentParser:
                           "(assembly must be the FIRST input file)")
     opt.add_argument("-nb-cores", dest="nb_cores", type=int, default=0,
                      help="number of host pipeline cores (0 = all)")
+    opt.add_argument("-solid-kmers-out", dest="solid_kmers_out", default=None,
+                     help="explicit output file for the solid-kmer store")
+    opt.add_argument("-out-compress", dest="out_compress", type=int, default=0,
+                     help="gzip-compress the output store datasets")
+    opt.add_argument("-storage-type", dest="storage_type", default="hdf5",
+                     choices=["hdf5"], help="output container format")
+    opt.add_argument("-minimizer-size", dest="minimizer_size", type=int,
+                     default=10, help="m-mer size for minimizer statistics")
+    opt.add_argument("-minimizer-type", dest="minimizer_type", type=int,
+                     default=0, choices=[0, 1],
+                     help="0: round-robin, 1: frequency-balanced repartition")
+    opt.add_argument("-repartition-type", dest="repartition_type", type=int,
+                     default=0, choices=[0, 1],
+                     help="1: compute a minimizer repartition table "
+                          "(stored in run info)")
     opt.add_argument("-verbose", type=int, default=1, help="verbosity level")
     opt.add_argument("-engine", default="auto",
                      choices=["auto", "simple", "dist"],
@@ -91,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         checkpoint=not args.no_checkpoint,
         engine=args.engine,
+        solid_kmers_out=args.solid_kmers_out,
+        out_compress=bool(args.out_compress),
+        minimizer_size=args.minimizer_size,
+        minimizer_type=args.minimizer_type,
+        repartition_type=args.repartition_type,
     )
     try:
         execute(params)

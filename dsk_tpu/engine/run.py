@@ -50,6 +50,11 @@ class RunParams:
     resume: bool = False     # reuse <prefix>.ckpt.h5 pass checkpoints
     checkpoint: bool = True  # write per-pass checkpoints on multi-pass runs
     engine: str = "auto"     # auto | simple | dist
+    solid_kmers_out: str | None = None  # explicit .h5 output path
+    out_compress: bool = False          # gzip the store datasets
+    minimizer_size: int = 10
+    minimizer_type: int = 0             # 1 = frequency-balanced
+    repartition_type: int = 0           # 1 = compute + store repartition stats
 
     def out_prefix(self) -> str:
         if self.out:
@@ -222,9 +227,34 @@ def execute(params: RunParams) -> RunOutput:
         f"(abundance in [{params.abundance_min}, {params.abundance_max}])"
     )
 
+    if params.repartition_type or params.minimizer_type:
+        # minimizer repartition diagnostics (SURVEY.md C6): sampled m-mer
+        # frequencies -> balanced minimizer->partition table; recorded in
+        # the run info (hash routing remains the transport)
+        from dsk_tpu.kmer import minimizer as mz
+
+        with timers.phase("repartition"):
+            freq = mz.sample_minimizer_frequencies(
+                bank, k, params.minimizer_size
+            )
+            table = mz.build_repartition(
+                freq,
+                max(result.info.get("n_chips", 1), 1),
+                frequency_aware=params.minimizer_type == 1,
+            )
+        loads = np.zeros(table.max() + 1, dtype=np.int64)
+        np.add.at(loads, table, freq)
+        repartition_stats = {
+            "minimizer_size": params.minimizer_size,
+            "nb_minimizers_seen": int((freq > 0).sum()),
+            "partition_loads": [int(x) for x in loads],
+        }
+    else:
+        repartition_stats = None
+
     prefix = params.out_prefix()
     os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
-    h5_path = prefix + ".h5"
+    h5_path = params.solid_kmers_out or (prefix + ".h5")
     with timers.phase("write"):
         info = {
             "kmer_size": k,
@@ -239,7 +269,9 @@ def execute(params: RunParams) -> RunOutput:
             "system": limits,
             **result.info,
         }
-        with OutputStore.create(h5_path, k) as store:
+        if repartition_stats:
+            info["repartition"] = repartition_stats
+        with OutputStore.create(h5_path, k, compress=params.out_compress) as store:
             sizes = result.info.get("partition_sizes")
             if sizes:
                 # mesh engine: partition p = owner chip p (dsk/solid/<p>)

@@ -81,8 +81,9 @@ class OutputStore:
     # -- writing ---------------------------------------------------------
 
     @classmethod
-    def create(cls, path: str, k: int) -> "OutputStore":
+    def create(cls, path: str, k: int, compress: bool = False) -> "OutputStore":
         store = cls(path, "w")
+        store._compress = compress  # -out-compress analog
         g = store._f.create_group("dsk")
         g.attrs["kmer_size"] = str(k)  # string: parity with gatb property
         g.attrs["nb_words"] = codec.words_per_kmer(k)
@@ -98,7 +99,8 @@ class OutputStore:
         rec = np.empty(kmers.shape[0], dtype=_count_dtype(w))
         rec["value"] = np.asarray(kmers, dtype=np.uint32).reshape(-1, w)
         rec["abundance"] = np.asarray(counts, dtype=np.int32)
-        self._f["dsk/solid"].create_dataset(str(idx), data=rec)
+        kw = {"compression": "gzip"} if getattr(self, "_compress", False) and rec.shape[0] else {}
+        self._f["dsk/solid"].create_dataset(str(idx), data=rec, **kw)
 
     def write_histogram(self, hist: np.ndarray) -> None:
         """hist indexed by abundance (index 0 unused) -> (index, count) pairs."""
