@@ -447,24 +447,30 @@ class DistCountEngine:
         n_bases = 0
         n_reads = 0
 
-        for batch in batches:
-            if single:
-                batch_dev = jax.device_put(batch.codes, device0)
-                bids_dev = jax.device_put(
-                    np.ascontiguousarray(batch.bank_ids, np.int32), device0
-                )
-            else:
-                batch_dev = jax.device_put(batch.codes, batch_sharding)
-                bids_dev = jax.device_put(
-                    np.ascontiguousarray(batch.bank_ids, np.int32),
-                    batch_sharding,
-                )
+        # host->device transfers happen on a background thread so they
+        # overlap device compute (double-buffered; P5 pipeline overlap)
+        from dsk_tpu.io.prefetch import prefetch
+
+        def put(batch):
+            where = device0 if single else batch_sharding
+            return (
+                jax.device_put(batch.codes, where),
+                jax.device_put(
+                    np.ascontiguousarray(batch.bank_ids, np.int32), where
+                ),
+                batch.n_bases,
+                batch.n_reads,
+            )
+
+        for batch_dev, bids_dev, bb, rr in prefetch(
+            (put(b) for b in batches), depth=3
+        ):
             buf_p, buf_c, over = self._route(
                 batch_dev, bids_dev, buf_p, buf_c, over,
                 jnp.int32(slot), jnp.int32(pass_id),
             )
-            n_bases += batch.n_bases
-            n_reads += batch.n_reads
+            n_bases += bb
+            n_reads += rr
             slot += 1
             if slot == plan.buf_batches:
                 buf_p, buf_c, tab_p, tab_c, tover = self._flush(

@@ -195,7 +195,10 @@ def sum_by_key_planes(
         is_sent = is_sent & (skeys[w] == SENTINEL)
     keep = is_new & ~is_sent
 
-    # compaction by stable single-key sort: real run-heads to the front
+    # compaction by stable single-key sort: real run-heads to the front.
+    # (A monotone-position scatter looks faster in isolation — ~0.1 ms for
+    # 10M rows — but measured SLOWER inside the fused flush program on
+    # v5e: +138 ms per flush.  Keep the sort.)
     idx = jnp.arange(N, dtype=jnp.int32)
     ckey = jnp.where(keep, idx, N)
     ops2 = (ckey,) + skeys + (run_total,)
