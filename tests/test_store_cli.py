@@ -242,3 +242,54 @@ def test_dsk2ascii_fasta_fastq_modes(data_dir, tmp_path):
         lines = buf.getvalue().splitlines()
         assert lines[0].startswith("@") and lines[1] == "ACTGTACGTATAAGA"
         assert lines[2] == "+" and len(lines[3]) == 15
+
+
+def test_end_to_end_large_k(data_dir, tmp_path):
+    # multi-word kmers (k=63, W=4) through run + store + dump round-trip
+    params = RunParams(
+        file=str(data_dir / "longread.fasta"), kmer_size=63,
+        abundance_min=1, out=str(tmp_path / "k63"), verbose=0,
+        batch_rows=64, row_len=160,
+    )
+    out = execute(params)
+    expected = oracle.count_bank(params.file, 63)
+    with OutputStore.load(out.h5_path) as store:
+        assert store.nb_words == 4
+        assert dict(store.iter_items()) == expected
+
+
+def test_end_to_end_fastq_gz(tmp_path):
+    # FASTQ.gz through the whole run path vs oracle
+    import gzip
+
+    recs = [
+        ("a", "ACGTACGTAGGTTACGTAAC"),
+        ("b", "TTACGTAACGGTTACGTAAC"),
+        ("c", "ACGTNNGTAGGTTACGTAAC"),
+    ]
+    fq = tmp_path / "r.fastq.gz"
+    with gzip.open(fq, "wt") as f:
+        for n, s in recs:
+            f.write(f"@{n}\n{s}\n+\n{'F' * len(s)}\n")
+    params = RunParams(
+        file=str(fq), kmer_size=11, abundance_min=1,
+        out=str(tmp_path / "fq"), verbose=0, batch_rows=8, row_len=32,
+    )
+    out = execute(params)
+    with OutputStore.load(out.h5_path) as store:
+        assert dict(store.iter_items()) == oracle.count_bank(str(fq), 11)
+
+
+def test_album_file_end_to_end(data_dir, tmp_path):
+    # file-of-filenames (album) input through the run path
+    album = tmp_path / "album_list"
+    with open(album, "w") as f:
+        f.write(f"{data_dir}/c1.fasta.gz\n{data_dir}/c2.fasta.gz\n")
+    params = RunParams(
+        file=str(album), kmer_size=27, abundance_min=1,
+        out=str(tmp_path / "alb"), verbose=0, batch_rows=256, row_len=128,
+    )
+    out = execute(params)
+    files = f"{data_dir}/c1.fasta.gz,{data_dir}/c2.fasta.gz"
+    with OutputStore.load(out.h5_path) as store:
+        assert dict(store.iter_items()) == oracle.count_bank(files, 27)
