@@ -142,7 +142,12 @@ class DistCountEngine:
             table_cap=table_cap,
         )
         self.nb_bins = nb_bins
-        self.use_pallas = self.mesh.devices.flat[0].platform == "tpu"
+        from dsk_tpu.kmer.pallas_kernels import MIN_PALLAS_ROW_LEN
+
+        self.use_pallas = (
+            self.mesh.devices.flat[0].platform == "tpu"
+            and self.row_len >= MIN_PALLAS_ROW_LEN
+        )
         self._build()
 
     # -- jitted programs -------------------------------------------------

@@ -49,7 +49,7 @@ def sniff_format(path: str) -> str:
             if line.startswith(b"@"):
                 return "fastq"
             raise ValueError(f"{path}: not FASTA/FASTQ (first line {line[:20]!r})")
-    raise ValueError(f"{path}: empty file")
+    return "fasta"  # empty file: an empty bank, not an error (native parity)
 
 
 def iter_sequences(path: str) -> Iterator[Sequence]:

@@ -29,8 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsk_tpu.kmer import codec
-
 MINIMIZER_SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 

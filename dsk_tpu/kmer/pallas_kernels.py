@@ -152,8 +152,15 @@ def extract_canonical_planes_jnp(batch: jax.Array, k: int):
     return jnp.moveaxis(words, -1, 0), valid
 
 
+MIN_PALLAS_ROW_LEN = 128  # Mosaic rejects sub-lane-width rows
+                          # ("Invalid vector register cast" for L < 128)
+
+
 def extract_canonical_planes(batch: jax.Array, k: int):
-    """Dispatch: Pallas on TPU, jnp elsewhere."""
-    if jax.devices()[0].platform == "tpu":
+    """Dispatch: Pallas on TPU (rows >= one lane width), jnp elsewhere."""
+    if (
+        jax.devices()[0].platform == "tpu"
+        and batch.shape[1] >= MIN_PALLAS_ROW_LEN
+    ):
         return extract_canonical_planes_tpu(batch, k)
     return extract_canonical_planes_jnp(batch, k)
