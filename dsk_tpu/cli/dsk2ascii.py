@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-out", default=None, help="output text file (default stdout)")
     p.add_argument("-fasta", action="store_true", help="fasta-shaped output")
     p.add_argument("-fastq", action="store_true", help="fastq-shaped output")
+    p.add_argument("-sorted", dest="sorted_", action="store_true",
+                   help="emit globally sorted kmers (A<C<T<G order) instead "
+                        "of partition order — the normative comparison form")
     p.add_argument("-c", dest="stdout", action="store_true",
                    help="force output to stdout")
     p.add_argument("-verbose", type=int, default=1)
@@ -39,11 +42,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"dsk2ascii: error: cannot open {args.file}: {e}", file=sys.stderr)
         return 1
     try:
+        def dump(f):
+            if args.sorted_:
+                lines = store_text.sorted_dump_lines(
+                    store.iter_items(), store.kmer_size
+                )
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+                return len(lines)
+            return store_text.dump_ascii(store, f, args.fasta, args.fastq)
+
         if args.out and not args.stdout:
             with open(args.out, "w") as f:
-                n = store_text.dump_ascii(store, f, args.fasta, args.fastq)
+                n = dump(f)
         else:
-            n = store_text.dump_ascii(store, sys.stdout, args.fasta, args.fastq)
+            n = dump(sys.stdout)
         if args.verbose and args.out:
             print(f"dsk2ascii: wrote {n} kmers -> {args.out}", file=sys.stderr)
     finally:
