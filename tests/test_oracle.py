@@ -101,3 +101,28 @@ def test_album_bank(tmp_path, data_dir):
     )
     counts = oracle.count_bank(str(album), k=27)
     assert_histo_matches(counts, data_dir / "k27.histo")
+
+
+def test_iupac_codes_split_reads(data_dir):
+    # IUPAC ambiguity codes (R/Y/M/W...) are invalid chars that split reads
+    # (reference test/IUPAC.fasta semantics, scripts/simple_test.sh:122-135)
+    from dsk_tpu.engine.counter import CountEngine
+    from dsk_tpu.kmer import codec as c
+
+    uri = str(data_dir / "IUPAC.fasta")
+    k = 15
+    res = CountEngine(k, batch_rows=8, row_len=64).count(uri)
+    expected = oracle.count_bank(uri, k)
+    got = {c.words_to_value(r): int(a) for r, a in zip(res.kmers, res.counts)}
+    assert got == expected
+    # cross-check with a hand construction: windows never contain a
+    # non-ACGT byte
+    from dsk_tpu.io.bank import open_bank
+
+    for _bid, seq in open_bank(uri).iter_sequences():
+        data = seq.data.upper()
+        for i in range(len(data) - k + 1):
+            win = data[i : i + k]
+            if all(ch in b"ACGT" for ch in win):
+                v = c.canonical_value(c.string_to_kmer(win.decode()), k)
+                assert v in got
