@@ -383,6 +383,7 @@ class DistCountEngine:
         cache_dir: str | None = None,
         done_passes: dict[int, CountResult] | None = None,
         on_pass=None,
+        progress_cb=None,
     ) -> CountResult:
         """Same driver contract as CountEngine.count (checkpoint hooks,
         batch cache, prefetch).  per_bank requires an engine constructed
@@ -406,6 +407,7 @@ class DistCountEngine:
                     batch_iterator(bank, self.k, self.batch_rows, self.row_len)
                 ),
                 nb_banks=bank.nb_banks,
+                progress_cb=progress_cb,
             )
             if on_pass is not None:
                 on_pass(0, res)
@@ -423,7 +425,10 @@ class DistCountEngine:
                         pass
                 results.append(done_passes[p])
                 continue
-            res = self.count_stream(batches, nb_banks=bank.nb_banks, pass_id=p)
+            res = self.count_stream(
+                batches, nb_banks=bank.nb_banks, pass_id=p,
+                progress_cb=progress_cb,
+            )
             if on_pass is not None:
                 on_pass(p, res)
             results.append(res)
@@ -431,7 +436,7 @@ class DistCountEngine:
 
     def count_stream(
         self, batches, nb_banks: int = 1, pass_id: int = 0,
-        finalize: bool = True,
+        finalize: bool = True, progress_cb=None,
     ) -> CountResult:
         """Count over an iterable of Batch objects (core loop; count() wraps
         it with the bank reader, dryrun/bench feed synthetic batches).
@@ -467,6 +472,7 @@ class DistCountEngine:
                 batch.n_reads,
             )
 
+        n_batches = 0
         for batch_dev, bids_dev, bb, rr in prefetch(
             (put(b) for b in batches), depth=3
         ):
@@ -476,6 +482,9 @@ class DistCountEngine:
             )
             n_bases += bb
             n_reads += rr
+            n_batches += 1
+            if progress_cb is not None and n_batches % 64 == 0:
+                progress_cb(n_batches, n_bases, n_reads)
             slot += 1
             if slot == plan.buf_batches:
                 buf_p, buf_c, tab_p, tab_c, tover = self._flush(

@@ -200,15 +200,23 @@ def execute(params: RunParams) -> RunOutput:
             _prog.log(f"[dsk_tpu] pass {p + 1}/{_n} done "
                       f"({res.n_distinct} distinct kmers), checkpointed")
 
-    with timers.phase("count"):
-        result = engine.count(
-            bank,
-            per_bank=need_per_bank,
-            n_passes=plan.n_passes,
-            cache_dir=params.out_tmp,
-            done_passes=done_passes,
-            on_pass=on_pass,
+    def batch_progress(n_batches, n_bases, n_reads):
+        progress.log(
+            f"[dsk_tpu] loop through reads: {n_reads} reads, "
+            f"{n_bases} bases ({n_batches} batches)", 2
         )
+
+    count_kwargs = dict(
+        per_bank=need_per_bank,
+        n_passes=plan.n_passes,
+        cache_dir=params.out_tmp,
+        done_passes=done_passes,
+        on_pass=on_pass,
+    )
+    if hasattr(engine, "compile"):  # the mesh engine streams with progress
+        count_kwargs["progress_cb"] = batch_progress
+    with timers.phase("count"):
+        result = engine.count(bank, **count_kwargs)
     if ckpt is not None:
         ckpt.remove()
 
