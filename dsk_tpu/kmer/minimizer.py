@@ -185,3 +185,39 @@ def build_repartition(
     light = order[freq[order] == 0]
     table[light] = np.arange(light.shape[0], dtype=np.int64) % n_partitions
     return table
+
+
+def superkmer_segments(
+    minimizers: jax.Array, valid: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side superkmer segmentation (vectorized run detection).
+
+    minimizers/valid: (B, nw) as produced by window_minimizers.  Returns
+    (is_head, head_len): is_head marks the first window of each superkmer
+    (a maximal run of consecutive valid windows sharing a minimizer,
+    never crossing a row); head_len holds the run length at head
+    positions (0 elsewhere).  The future routing path sends one packed
+    record per head; this is also the compression-factor diagnostic
+    (mean run length == kmers per routed record).
+    """
+    B, nw = minimizers.shape
+    prev_same = jnp.zeros((B, nw), jnp.bool_)
+    prev_same = prev_same.at[:, 1:].set(
+        valid[:, 1:] & valid[:, :-1]
+        & (minimizers[:, 1:] == minimizers[:, :-1])
+    )
+    is_head = valid & ~prev_same
+    # run length via position-of-head subtraction: for each window its
+    # head position (cummax of head indices), then length = (last in run)
+    # - head + 1 computed at heads by a reverse scan over run ends
+    idx = jnp.broadcast_to(jnp.arange(nw, dtype=jnp.int32)[None, :], (B, nw))
+    head_pos = jax.lax.cummax(jnp.where(is_head, idx, 0), axis=1)
+    is_end = jnp.ones((B, nw), jnp.bool_)
+    is_end = is_end.at[:, :-1].set(~prev_same[:, 1:])
+    is_end = is_end & valid
+    INT_MAX = jnp.int32(2**31 - 1)
+    end_pos = jax.lax.cummin(
+        jnp.where(is_end, idx, INT_MAX), axis=1, reverse=True
+    )
+    head_len = jnp.where(is_head, end_pos - head_pos + 1, 0)
+    return is_head, head_len

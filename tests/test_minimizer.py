@@ -81,3 +81,21 @@ def test_repartition_balance(data_dir):
     rr = minimizer.build_repartition(freq, 16, frequency_aware=False)
     assert rr.shape == table.shape
     assert set(np.unique(rr)) <= set(range(16))
+
+
+def test_device_superkmer_segments_match_host():
+    rng = np.random.default_rng(21)
+    k, m = 21, 8
+    codes = rng.integers(0, 5, size=(8, 128), dtype=np.uint8)
+    codes[codes > 3] = 0xFF
+    mins, valid = minimizer.window_minimizers(jnp.asarray(codes), k, m)
+    is_head, head_len = minimizer.superkmer_segments(mins, valid)
+    is_head, head_len = np.asarray(is_head), np.asarray(head_len)
+    host_lens = minimizer.superkmer_lengths(np.asarray(mins), np.asarray(valid))
+    dev_lens = head_len[is_head]
+    # same multiset of run lengths, same total coverage
+    assert sorted(dev_lens.tolist()) == sorted(host_lens.tolist())
+    assert dev_lens.sum() == np.asarray(valid).sum()
+    # every head has positive length; non-heads have zero
+    assert (head_len[is_head] > 0).all()
+    assert (head_len[~is_head] == 0).all()
