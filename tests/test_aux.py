@@ -58,3 +58,33 @@ def test_sweep_harness_smoke(data_dir, tmp_path):
     assert len(cells) == 2
     assert all(c["status"] == "ok" for c in cells)
     assert cells[0]["n_distinct"] == cells[1]["n_distinct"]
+
+
+def test_timeinfo_phases():
+    import time as _t
+
+    from dsk_tpu.utils.timeinfo import TimeInfo
+
+    ti = TimeInfo()
+    with ti.phase("a"):
+        _t.sleep(0.01)
+    with ti.phase("a"):
+        _t.sleep(0.01)
+    with ti.phase("b"):
+        pass
+    props = ti.as_properties()
+    assert float(props["a"]) >= 0.02
+    assert "b" in props
+
+
+def test_progress_verbosity(capsys):
+    import io as _io
+
+    from dsk_tpu.utils.timeinfo import Progress
+
+    buf = _io.StringIO()
+    p = Progress(verbose=1, stream=buf)
+    p.log("visible", 1)
+    p.log("hidden", 2)
+    assert "visible" in buf.getvalue()
+    assert "hidden" not in buf.getvalue()
