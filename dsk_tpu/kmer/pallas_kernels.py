@@ -84,9 +84,17 @@ def _extract_kernel(codes_ref, planes_ref, valid_ref, *, k: int, W: int, nw: int
         return P[:, off : off + nw]
 
     def rc_word(w):
-        if w == W - 1:
+        # rc word w must split at 32-bit word boundaries exactly like the
+        # forward path (and the jnp reference, device.py:114-124): word w
+        # (w >= 1) is the full 16-base block R16[p + 16*(W-1-w)]; word 0 is
+        # the top r bases of R16[p + k - 16], i.e. >> (32 - 2r).  (W == 1:
+        # the low 2k bits of R16[p].)
+        if W == 1:
             return R[:, :nw] & jnp.uint32(mask_r)
-        off = k - 16 * (w + 1)
+        if w == 0:
+            blk = R[:, k - 16 : k - 16 + nw]
+            return (blk >> (32 - 2 * r)) if r < 16 else blk
+        off = 16 * (W - 1 - w)
         return R[:, off : off + nw]
 
     lt = jnp.zeros((TB, nw), jnp.bool_)
