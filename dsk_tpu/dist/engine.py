@@ -384,6 +384,7 @@ class DistCountEngine:
         done_passes: dict[int, CountResult] | None = None,
         on_pass=None,
         progress_cb=None,
+        n_workers: int = 1,
     ) -> CountResult:
         """Same driver contract as CountEngine.count (checkpoint hooks,
         batch cache, prefetch).  per_bank requires an engine constructed
@@ -404,7 +405,10 @@ class DistCountEngine:
         if n_passes <= 1:
             res = self.count_stream(
                 prefetch(
-                    batch_iterator(bank, self.k, self.batch_rows, self.row_len)
+                    batch_iterator(
+                        bank, self.k, self.batch_rows, self.row_len,
+                        n_workers=n_workers,
+                    )
                 ),
                 nb_banks=bank.nb_banks,
                 progress_cb=progress_cb,
@@ -417,7 +421,8 @@ class DistCountEngine:
         done_passes = done_passes or {}
         results = []
         for p, batches in multipass_batches(
-            bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir
+            bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir,
+            n_workers=n_workers,
         ):
             if p in done_passes:
                 if p == 0 and len(done_passes) < n_passes:

@@ -151,6 +151,7 @@ class CountEngine:
         cache_dir: str | None = None,
         done_passes: dict[int, CountResult] | None = None,
         on_pass=None,
+        n_workers: int = 1,
     ) -> CountResult:
         """Full count.  Multi-pass restartability (SURVEY.md section 5.3-4):
         done_passes supplies already-completed pass results (from a
@@ -163,7 +164,10 @@ class CountEngine:
 
             res = self.count_stream(
                 prefetch(
-                    batch_iterator(bank, self.k, self.batch_rows, self.row_len)
+                    batch_iterator(
+                        bank, self.k, self.batch_rows, self.row_len,
+                        n_workers=n_workers,
+                    )
                 ),
                 nb_banks=bank.nb_banks,
                 per_bank=per_bank,
@@ -180,7 +184,8 @@ class CountEngine:
         done_passes = done_passes or {}
         results = []
         for p, batches in multipass_batches(
-            bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir
+            bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir,
+            n_workers=n_workers,
         ):
             if p in done_passes:
                 # drain pass-0's tee so the cache still gets written
@@ -305,6 +310,7 @@ def multipass_batches(
     row_len: int,
     n_passes: int,
     cache_dir: str | None = None,
+    n_workers: int = 1,
 ):
     """Yield (pass_id, batch_iterable) per pass; pass 0 reads the bank and
     tees a 2-bit batch cache, later passes stream the cache (C11 analog).
@@ -321,7 +327,10 @@ def multipass_batches(
     try:
         writer = bcache.BatchCacheWriter(path, k, batch_rows, row_len)
         yield 0, bcache.teeing_iterator(
-            prefetch(batch_iterator(bank, k, batch_rows, row_len)), writer
+            prefetch(
+                batch_iterator(bank, k, batch_rows, row_len, n_workers=n_workers)
+            ),
+            writer,
         )
         for p in range(1, n_passes):
             yield p, prefetch(bcache.read_batches(path))

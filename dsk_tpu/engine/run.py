@@ -206,12 +206,16 @@ def execute(params: RunParams) -> RunOutput:
             f"{n_bases} bases ({n_batches} batches)", 2
         )
 
+    n_workers = params.nb_cores
+    if n_workers <= 0:  # 0 = auto (reference: -nb-cores defaults to all)
+        n_workers = min(int(limits.get("nb_cores", 1)), 8)
     count_kwargs = dict(
         per_bank=need_per_bank,
         n_passes=plan.n_passes,
         cache_dir=params.out_tmp,
         done_passes=done_passes,
         on_pass=on_pass,
+        n_workers=n_workers,
     )
     if hasattr(engine, "compile"):  # the mesh engine streams with progress
         count_kwargs["progress_cb"] = batch_progress

@@ -10,6 +10,7 @@ SURVEY.md section 5.7).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -19,6 +20,57 @@ from dsk_tpu.io.bank import Bank
 from dsk_tpu.kmer.codec import encode_bytes
 
 PAD = np.uint8(0xFF)  # invalid code: windows touching it are masked
+
+
+@dataclass(frozen=True)
+class ReadUnit:
+    """One independently parsable shard of input: a whole file, or a byte
+    range [start, end) of a plain (non-gzip) file with record resync.
+
+    The work unit for reader parallelism (the reference fans its bank
+    iterator over -nb-cores threads, SURVEY.md C13/P3) and for multi-host
+    input sharding (SURVEY.md §2.4).
+    """
+
+    path: str
+    bank_id: int
+    start: int = 0
+    end: int = -1  # -1: to EOF
+
+
+def _is_gzip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+MIN_SPLIT_BYTES = 4 << 20
+
+
+def split_bank_units(
+    bank: Bank, n_units: int, min_bytes: int = MIN_SPLIT_BYTES
+) -> list[ReadUnit]:
+    """Split a bank into ~n_units independently parsable ReadUnits.
+
+    Plain FASTA/FASTQ files are split by byte ranges (resynced to record
+    boundaries by the readers); gzip members stay whole (no random
+    access).  Unit count is best-effort: small files don't split below
+    min_bytes per unit.
+    """
+    sizes = [os.path.getsize(p) for p in bank.files]
+    total = sum(sizes) or 1
+    units: list[ReadUnit] = []
+    for bank_id, (path, size) in enumerate(zip(bank.files, sizes)):
+        if _is_gzip(path) or size <= min_bytes:
+            units.append(ReadUnit(path, bank_id))
+            continue
+        share = max(1, round(n_units * size / total))
+        n = min(share, max(1, size // min_bytes))
+        step = size // n
+        for i in range(n):
+            start = i * step
+            end = (i + 1) * step if i < n - 1 else -1
+            units.append(ReadUnit(path, bank_id, start, end))
+    return units
 
 
 @dataclass
@@ -50,13 +102,16 @@ def batch_iterator(
     batch_rows: int = 1024,
     row_len: int = 256,
     use_native: bool | None = None,
+    n_workers: int = 1,
 ) -> Iterator[Batch]:
     """Stream a bank as fixed-shape batches of encoded, chunked reads.
 
     Dispatches to the native C++ reader (dsk_tpu.io.native: gunzip + parse
     + encode + halo-chunk in one pass, the BankFasta replacement) when the
     shared library is available; the Python path is the tested fallback
-    and produces byte-identical batches.
+    and produces byte-identical batches.  n_workers > 1 fans parsing over
+    threads (the reference's -nb-cores Dispatcher, SURVEY.md C13) —
+    batch ORDER is then nondeterministic but counting is order-invariant.
     """
     if row_len < k:
         raise ValueError(f"row_len {row_len} < k={k}")
@@ -64,72 +119,159 @@ def batch_iterator(
         from dsk_tpu.io import native
 
         use_native = native.available()
-    if use_native:
-        yield from _native_batch_iterator(bank, k, batch_rows, row_len)
+    if n_workers > 1:
+        yield from parallel_batch_iterator(
+            bank, k, batch_rows, row_len, n_workers, use_native=use_native
+        )
         return
-    buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
-    bids = np.zeros(batch_rows, dtype=np.int32)
-    row = 0
-    bases = 0
-    reads = 0
-    for bank_id, seq in bank.iter_sequences():
-        # stats count ALL parsed input (reads shorter than k produce no
-        # rows but are still consumed input — native parser semantics)
-        bases += len(seq.data)
-        reads += 1
-        if len(seq.data) < k:
-            continue
-        codes = encode_bytes(seq.data)
-        for chunk in chunk_codes(codes, k, row_len):
-            buf[row, : chunk.shape[0]] = chunk
-            bids[row] = bank_id
-            row += 1
-            if row == batch_rows:
-                yield Batch(buf, bids, row, bases, reads)
-                buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
-                bids = np.zeros(batch_rows, dtype=np.int32)
-                row = 0
-                bases = 0
-                reads = 0
-    if row > 0:
-        yield Batch(buf, bids, row, bases, reads)
+    units = [ReadUnit(p, i) for i, p in enumerate(bank.files)]
+    yield from _units_batch_stream(
+        units, k, batch_rows, row_len, use_native,
+        global_ids=getattr(bank, "global_ids", None),
+    )
 
 
-def _native_batch_iterator(
-    bank: Bank, k: int, batch_rows: int, row_len: int
+def _units_batch_stream(
+    units: list[ReadUnit],
+    k: int,
+    batch_rows: int,
+    row_len: int,
+    use_native: bool,
+    global_ids: list[int] | None = None,
 ) -> Iterator[Batch]:
-    """C++-backed batching: one NativeReader per sub-bank, shared buffers.
+    """Serial batching over ReadUnits with one shared buffer.
 
-    Row/boundary semantics identical to the Python path (validated row-for-
-    row in tests/test_native_io.py); rows from consecutive sub-banks can
-    share a batch, with bank_ids labeling each row.
+    Row/boundary semantics identical between the native and Python paths
+    (validated row-for-row in tests/test_native_io.py); rows from
+    consecutive units can share a batch, with bank_ids labeling each row.
+    global_ids (multi-host sharded banks) remaps local file index ->
+    original bank id.
     """
-    from dsk_tpu.io.native import NativeReader
-
     buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
     bids = np.zeros(batch_rows, dtype=np.int32)
     row = 0
     bases = 0
     reads = 0
-    for bank_id, path in enumerate(bank.files):
-        reader = NativeReader(path)
-        try:
-            while True:
-                n, b, r = reader.next_batch(buf[row:], k)
-                if n == 0 and b == 0 and r == 0:
-                    break
-                bids[row : row + n] = bank_id
-                row += n
-                bases += b
-                reads += r
-                if row == batch_rows:
-                    yield Batch(buf, bids, row, bases, reads)
-                    buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
-                    bids = np.zeros(batch_rows, dtype=np.int32)
-                    row = 0
-                    bases = 0
-                    reads = 0
-        finally:
-            reader.close()
+    for unit in units:
+        bank_id = (
+            global_ids[unit.bank_id] if global_ids is not None
+            else unit.bank_id
+        )
+        if use_native:
+            from dsk_tpu.io.native import NativeReader
+
+            reader = NativeReader(unit.path, unit.start, unit.end)
+            try:
+                while True:
+                    n, b, r = reader.next_batch(buf[row:], k)
+                    if n == 0 and b == 0 and r == 0:
+                        break
+                    bids[row : row + n] = bank_id
+                    row += n
+                    bases += b
+                    reads += r
+                    if row == batch_rows:
+                        yield Batch(buf, bids, row, bases, reads)
+                        buf = np.full(
+                            (batch_rows, row_len), PAD, dtype=np.uint8
+                        )
+                        bids = np.zeros(batch_rows, dtype=np.int32)
+                        row = 0
+                        bases = 0
+                        reads = 0
+            finally:
+                reader.close()
+        else:
+            from dsk_tpu.io.fasta import iter_sequences
+
+            end = None if unit.end < 0 else unit.end
+            for seq in iter_sequences(unit.path, unit.start, end):
+                # stats count ALL parsed input (reads shorter than k
+                # produce no rows but are still consumed input)
+                bases += len(seq.data)
+                reads += 1
+                if len(seq.data) < k:
+                    continue
+                codes = encode_bytes(seq.data)
+                for chunk in chunk_codes(codes, k, row_len):
+                    buf[row, : chunk.shape[0]] = chunk
+                    bids[row] = bank_id
+                    row += 1
+                    if row == batch_rows:
+                        yield Batch(buf, bids, row, bases, reads)
+                        buf = np.full(
+                            (batch_rows, row_len), PAD, dtype=np.uint8
+                        )
+                        bids = np.zeros(batch_rows, dtype=np.int32)
+                        row = 0
+                        bases = 0
+                        reads = 0
     if row > 0:
         yield Batch(buf, bids, row, bases, reads)
+
+
+def parallel_batch_iterator(
+    bank: Bank,
+    k: int,
+    batch_rows: int = 1024,
+    row_len: int = 256,
+    n_workers: int = 4,
+    use_native: bool | None = None,
+    queue_depth: int = 8,
+) -> Iterator[Batch]:
+    """Fan parsing over n_workers threads (the -nb-cores Dispatcher analog).
+
+    The bank is split into ReadUnits (plain files by byte range with
+    record resync, gzip files whole — gunzip is inherently serial per
+    member) dealt round-robin to workers; each worker streams its units
+    through _units_batch_stream into a bounded queue.  The native parser
+    releases the GIL inside ctypes calls, so workers genuinely overlap.
+    Batch order is nondeterministic; counting is order-invariant and
+    per-row bank_ids keep multi-bank semantics exact.
+    """
+    import queue as _queue
+    import threading
+
+    if use_native is None:
+        from dsk_tpu.io import native
+
+        use_native = native.available()
+    units = split_bank_units(bank, n_units=n_workers * 4)
+    n_workers = max(1, min(n_workers, len(units)))
+    global_ids = getattr(bank, "global_ids", None)
+
+    q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
+    errs: list[BaseException] = []
+    _DONE = object()
+
+    def worker(worker_units: list[ReadUnit]):
+        try:
+            for b in _units_batch_stream(
+                worker_units, k, batch_rows, row_len, use_native,
+                global_ids=global_ids,
+            ):
+                q.put(b)
+        except BaseException as e:
+            errs.append(e)
+        finally:
+            q.put(_DONE)
+
+    threads = []
+    for w in range(n_workers):
+        worker_units = units[w::n_workers]
+        t = threading.Thread(
+            target=worker, args=(worker_units,), daemon=True
+        )
+        t.start()
+        threads.append(t)
+    done = 0
+    while done < n_workers:
+        item = q.get()
+        if item is _DONE:
+            done += 1
+            continue
+        yield item
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]

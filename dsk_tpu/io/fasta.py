@@ -52,13 +52,124 @@ def sniff_format(path: str) -> str:
     return "fasta"  # empty file: an empty bank, not an error (native parity)
 
 
-def iter_sequences(path: str) -> Iterator[Sequence]:
+def iter_sequences(
+    path: str, start: int = 0, end: int | None = None
+) -> Iterator[Sequence]:
+    """Stream records; optionally only those whose header byte offset lies
+    in [start, end) (plain files only — gzip has no random access).
+
+    Mirrors the native reader's byte-range contract (fx_open_range in
+    io/native/fastx.cpp): resync to the next record boundary after
+    `start`; a record starting at or past `end` belongs to the next shard.
+    """
     fmt = sniff_format(path)
-    with _open_maybe_gzip(path) as f:
+    if start == 0 and end is None:
+        with _open_maybe_gzip(path) as f:
+            if fmt == "fasta":
+                yield from _iter_fasta(f)
+            else:
+                yield from _iter_fastq(f)
+        return
+    f = _open_maybe_gzip(path)
+    try:
+        if isinstance(f, gzip.GzipFile):
+            raise ValueError(f"{path}: gzip files cannot be byte-range split")
+        off = _resync(f, start, fmt)
+        if off is None or (end is not None and off >= end):
+            return
+        f.seek(off)
         if fmt == "fasta":
-            yield from _iter_fasta(f)
+            yield from _iter_fasta_range(f, off, end)
         else:
-            yield from _iter_fastq(f)
+            yield from _iter_fastq_range(f, off, end)
+    finally:
+        f.close()
+
+
+def _resync(f, start: int, fmt: str) -> int | None:
+    """First record-header offset >= start (None if no record follows)."""
+    if start == 0:
+        return 0
+    f.seek(start - 1)
+    prev = f.read(1)
+    off = start
+    if prev != b"\n":
+        line = f.readline()  # skip the partial line start landed inside
+        if not line:
+            return None
+        off = start + len(line)
+    f.seek(off)
+    while True:
+        line = f.readline()
+        if not line:
+            return None
+        if fmt == "fasta":
+            if line.startswith(b">"):
+                return off
+        elif line.startswith(b"@"):
+            # a quality line may start with '@' too; a true header has a
+            # '+' line two lines ahead (see fastx.cpp resync_to_record)
+            o1 = off + len(line)
+            l1 = f.readline()
+            if not l1:
+                return None
+            l2 = f.readline()
+            if not l2:
+                return None
+            if l2.startswith(b"+"):
+                return off
+            off = o1
+            f.seek(off)
+            continue
+        off += len(line)
+
+
+def _iter_fasta_range(f, off: int, end: int | None) -> Iterator[Sequence]:
+    comment = None
+    parts: list[bytes] = []
+    while True:
+        line = f.readline()
+        if not line:
+            break
+        if line.startswith(b">"):
+            if end is not None and off >= end:
+                break
+            if comment is not None:
+                yield Sequence(comment, b"".join(parts))
+            comment = line.rstrip(b"\r\n")[1:]
+            parts = []
+        else:
+            stripped = line.rstrip(b"\r\n")
+            if stripped:
+                parts.append(stripped)
+        off += len(line)
+    if comment is not None:
+        yield Sequence(comment, b"".join(parts))
+
+
+def _iter_fastq_range(f, off: int, end: int | None) -> Iterator[Sequence]:
+    while True:
+        header = f.readline()
+        if not header:
+            return
+        if not header.rstrip(b"\r\n"):
+            off += len(header)
+            continue
+        if end is not None and off >= end:
+            return
+        if not header.startswith(b"@"):
+            raise ValueError(f"bad FASTQ record header: {header[:30]!r}")
+        seq = f.readline()
+        plus = f.readline()
+        if not plus.startswith(b"+"):
+            raise ValueError("bad FASTQ record: missing '+' line")
+        qual = f.readline()
+        off += len(header) + len(seq) + len(plus) + len(qual)
+        yield Sequence(
+            header.rstrip(b"\r\n")[1:],
+            seq.rstrip(b"\r\n"),
+            qual.rstrip(b"\r\n"),
+        )
 
 
 def _iter_fasta(f) -> Iterator[Sequence]:

@@ -50,6 +50,13 @@ def _load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.fx_open_range.restype = ctypes.c_void_p
+    lib.fx_open_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -59,16 +66,33 @@ def available() -> bool:
 
 
 class NativeReader:
-    """Streams one file as encoded (rows, row_len) code blocks."""
+    """Streams one file (or a byte range of a plain file) as encoded
+    (rows, row_len) code blocks.
 
-    def __init__(self, path: str):
+    start/end select records whose header byte offset is in [start, end)
+    (end < 0: to EOF) with resync to the next record boundary — the
+    reference has no analog (single-process); this is the shard unit for
+    reader parallelism and multi-host input sharding (SURVEY.md §2.4).
+    Gzip files cannot be range-split (no random access): pass whole files.
+    """
+
+    def __init__(self, path: str, start: int = 0, end: int = -1):
         lib = _load()
         if lib is None:
             raise RuntimeError("libdskio.so unavailable")
         self._lib = lib
-        self._h = lib.fx_open(path.encode())
+        if start == 0 and end < 0:
+            self._h = lib.fx_open(path.encode())
+        else:
+            from dsk_tpu.io.fasta import sniff_format
+
+            fq = 1 if sniff_format(path) == "fastq" else 0
+            self._h = lib.fx_open_range(path.encode(), start, end, fq)
         if not self._h:
-            raise FileNotFoundError(path)
+            raise FileNotFoundError(
+                f"{path} (range [{start},{end}) — gz files cannot be split)"
+                if start or end >= 0 else path
+            )
 
     def next_batch(
         self, buf: np.ndarray, k: int

@@ -68,7 +68,11 @@ struct Handle {
     uint8_t buf[IOBUF];
     int buf_len = 0;
     int buf_pos = 0;
+    long buf_off = 0;         // file offset of buf[0] (uncompressed)
     bool eof = false;
+    // byte-range mode: records whose header offset is >= range_end belong
+    // to the next shard (range_end < 0: no limit)
+    long range_end = -1;
     // batch-call stats
     long bases = 0;
     long reads = 0;
@@ -122,15 +126,97 @@ inline bool end_read(Handle* h, Batch* b) {
 
 inline bool fill(Handle* h) {
     if (h->eof) return false;
+    long off = gztell(h->f);
     int n = gzread(h->f, h->buf, IOBUF);
     if (n <= 0) {
         h->eof = true;
         if (n < 0) h->error = 2;  // gz read error
         return false;
     }
+    h->buf_off = off;
     h->buf_len = n;
     h->buf_pos = 0;
     return true;
+}
+
+// current file offset of the char at buf_pos
+inline long cur_off(const Handle* h) { return h->buf_off + h->buf_pos; }
+
+// ---- byte-range resync -----------------------------------------------
+//
+// Reads one line starting at `off` (plain files only; gzseek is cheap on
+// transparent streams).  Returns the line length INCLUDING the newline,
+// 0 at EOF, capped at cap-1 bytes of content.
+static long read_line_at(gzFile f, long off, char* out, int cap,
+                         bool* complete) {
+    if (gzseek(f, off, SEEK_SET) < 0) return 0;
+    int n = gzread(f, out, cap - 1);
+    if (n <= 0) return 0;
+    out[n] = 0;
+    const char* nl = static_cast<const char*>(std::memchr(out, '\n', n));
+    if (nl) {
+        long len = (long)(nl - out) + 1;
+        out[len - 1] = 0;
+        *complete = true;
+        return len;
+    }
+    *complete = (n < cap - 1);  // EOF-terminated line
+    return n;
+}
+
+// Find the first record-header offset at or after `start`.  FASTA: a line
+// starting with '>'.  FASTQ: a line starting with '@' whose line+2 starts
+// with '+' (quality lines may start with '@' but the line two ahead of a
+// quality line is a sequence line, never '+').  Returns -1 if none.
+static long resync_to_record(gzFile f, long start, bool fastq) {
+    constexpr int CAP = 1 << 16;
+    static thread_local char line[CAP];
+    bool complete = false;
+    long off = start;
+    if (start > 0) {
+        // a header at exactly `start` counts only if preceded by '\n';
+        // otherwise skip the (possibly partial) line `start` lands inside
+        if (gzseek(f, start - 1, SEEK_SET) < 0) return -1;
+        char prev;
+        if (gzread(f, &prev, 1) != 1) return -1;
+        if (prev != '\n') {
+            long len;
+            do {
+                len = read_line_at(f, off, line, CAP, &complete);
+                if (len == 0) return -1;
+                off += len;
+            } while (!complete);  // giant FASTA line spanning buffers
+        }
+    }
+    while (true) {
+        long len = read_line_at(f, off, line, CAP, &complete);
+        if (len == 0) return -1;
+        char c0 = line[0];
+        if (!fastq) {
+            if (c0 == '>') return off;
+        } else if (c0 == '@') {
+            // verify: line+2 must start with '+' ('@' may also start a
+            // quality line, but the line two ahead of a quality line is a
+            // sequence line, never '+')
+            long o1 = off + len;
+            long l1 = read_line_at(f, o1, line, CAP, &complete);
+            if (l1 == 0) return -1;
+            long o2 = o1 + l1;
+            long l2 = read_line_at(f, o2, line, CAP, &complete);
+            if (l2 == 0) return -1;
+            if (line[0] == '+') return off;
+            // not a header (quality line): resume at the NEXT line (o1)
+            off = o1;
+            continue;
+        }
+        // skip continuation chunks of an incomplete (giant) line
+        off += len;
+        while (!complete) {
+            len = read_line_at(f, off, line, CAP, &complete);
+            if (len == 0) return -1;
+            off += len;
+        }
+    }
 }
 
 }  // namespace
@@ -147,6 +233,53 @@ void* fx_open(const char* path) {
         return nullptr;
     }
     h->f = f;
+    return h;
+}
+
+// Open a byte range [start, end) of a PLAIN (uncompressed) FASTA/FASTQ
+// file: parsing resyncs to the first record header at offset >= start and
+// stops at the first header at offset >= end (that record belongs to the
+// next shard).  end < 0 means "to EOF".  `fastq` != 0 selects FASTQ
+// resync rules (the caller sniffs the format from offset 0 — one file is
+// one format).  Gzip members cannot be byte-range-split (no random
+// access); callers keep .gz files whole.  Returns nullptr on error.
+void* fx_open_range(const char* path, long start, long end, int fastq) {
+    {
+        // refuse gzip input in range mode (offsets would be meaningless)
+        gzFile probe = gzopen(path, "rb");
+        if (!probe) return nullptr;
+        int direct = gzdirect(probe);  // 1 = plain passthrough
+        gzclose(probe);
+        if (!direct && (start > 0 || end >= 0)) return nullptr;
+    }
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    long first = start;
+    if (start > 0) {
+        first = resync_to_record(f, start, fastq != 0);
+        if (first < 0 || (end >= 0 && first >= end)) {
+            // no record starts inside this shard: empty handle
+            first = -1;
+        }
+    }
+    gzbuffer(f, IOBUF);
+    Handle* h = new (std::nothrow) Handle();
+    if (!h) {
+        gzclose(f);
+        return nullptr;
+    }
+    h->f = f;
+    h->range_end = end;
+    if (first < 0) {
+        h->eof = true;
+    } else {
+        if (gzseek(f, first, SEEK_SET) < 0) {
+            gzclose(f);
+            delete h;
+            return nullptr;
+        }
+        h->buf_off = first;
+    }
     return h;
 }
 
@@ -180,12 +313,16 @@ int fx_next_batch(void* hv, uint8_t* out_codes, int rows, int row_len,
             uint8_t c = h->buf[h->buf_pos];
             switch (h->state) {
                 case S::START:
-                    if (c == '>') {
-                        h->fastq = false;
-                        h->state = S::FA_HEADER;
-                    } else if (c == '@') {
-                        h->fastq = true;
-                        h->state = S::FQ_HEADER;
+                    if (c == '>' || c == '@') {
+                        if (h->range_end >= 0 &&
+                            cur_off(h) >= h->range_end) {
+                            // this record belongs to the next shard
+                            h->eof = true;
+                            h->buf_pos = h->buf_len;
+                            break;
+                        }
+                        h->fastq = (c == '@');
+                        h->state = c == '>' ? S::FA_HEADER : S::FQ_HEADER;
                     } else if (c != '\n' && c != '\r') {
                         h->error = 3;  // not fasta/fastq
                         return 0;
@@ -209,7 +346,15 @@ int fx_next_batch(void* hv, uint8_t* out_codes, int rows, int row_len,
                 }
                 case S::FA_SEQ:
                     if (c == '>') {
+                        bool past = h->range_end >= 0 &&
+                                    cur_off(h) >= h->range_end;
                         if (!end_read(h, &b)) goto done;
+                        if (past) {
+                            h->state = S::START;
+                            h->eof = true;
+                            h->buf_pos = h->buf_len;
+                            break;
+                        }
                         h->state = S::FA_HEADER;
                         h->buf_pos++;
                     } else if (c == '\n' || c == '\r') {
