@@ -66,6 +66,17 @@ from dsk_tpu.kmer.pallas_kernels import (
 AXIS = "chips"
 
 
+class RoutingOverflow(RuntimeError):
+    """Some kmers exceeded the per-destination all_to_all bucket capacity.
+    Retry valve: higher send_slack (the reference balances partitions via
+    frequency-aware repartition, SURVEY.md C6; slack is our headroom)."""
+
+
+class TableOverflow(RuntimeError):
+    """A chip's distinct-kmer table exceeded table_cap.  Retry valve: more
+    passes (the reference's n_iters semantics, doc/paper.tex:66)."""
+
+
 def default_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -478,6 +489,7 @@ class DistCountEngine:
             )
 
         n_batches = 0
+        n_flushes = 0
         for batch_dev, bids_dev, bb, rr in prefetch(
             (put(b) for b in batches), depth=3
         ):
@@ -496,22 +508,17 @@ class DistCountEngine:
                     buf_p, buf_c, tab_p, tab_c, tover
                 )
                 slot = 0
+                n_flushes += 1
+                # fail fast every few flushes: an overflowing long run must
+                # not stream to completion before erroring (each check is a
+                # host sync, so amortize it)
+                if n_flushes % 8 == 0:
+                    self._check_overflow(over, tover)
         if slot:
             buf_p, buf_c, tab_p, tab_c, tover = self._flush(
                 buf_p, buf_c, tab_p, tab_c, tover
             )
-
-        n_over = int(np.asarray(over).sum())
-        if n_over:
-            raise RuntimeError(
-                f"routing overflow: {n_over} kmers exceeded the "
-                f"per-destination capacity {plan.send_cap}; raise send_slack"
-            )
-        if int(np.asarray(tover).sum()):
-            raise RuntimeError(
-                f"table overflow: >{plan.table_cap} distinct kmers on a "
-                f"chip; raise table_cap (or use more chips/passes)"
-            )
+        self._check_overflow(over, tover)
 
         info = {
             "n_bases": n_bases,
@@ -557,6 +564,21 @@ class DistCountEngine:
             bank_counts=bank_mat,
             info=info,
         )
+
+    def _check_overflow(self, over, tover) -> None:
+        plan = self.plan
+        n_over = int(np.asarray(over).sum())
+        if n_over:
+            raise RoutingOverflow(
+                f"routing overflow: {n_over} kmers exceeded the "
+                f"per-destination capacity {plan.send_cap} "
+                f"(send_slack too low for this skew)"
+            )
+        if int(np.asarray(tover).sum()):
+            raise TableOverflow(
+                f"table overflow: >{plan.table_cap} distinct kmers on a "
+                f"chip (distinct-kmer estimate too low)"
+            )
 
     def gather_tables(self, tab_p=None, tab_c=None):
         """Device tables -> host (kmers (n,W), counts, partition sizes).

@@ -34,6 +34,13 @@ def _fingerprint(params, n_passes: int) -> str:
             "batch_rows": params.batch_rows,
             "row_len": params.row_len,
             "histo_max": params.histo_max,
+            # per-bank-relevant flags: a resumed pass must have the same
+            # bank_counts presence/shape as a fresh one, or the final merge
+            # concatenates None with arrays (ADVICE.md r1 item 3)
+            "solidity_kind": params.solidity_kind,
+            "solidity_custom": params.solidity_custom,
+            "histo2d": params.histo2d,
+            "engine": params.engine,
         },
         sort_keys=True,
     )
