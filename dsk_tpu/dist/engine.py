@@ -113,7 +113,7 @@ class DistCountEngine:
         mesh: Mesh | None = None,
         batch_rows: int = 1024,
         row_len: int = 256,
-        send_slack: float = 2.0,
+        send_slack: float = 2.5,
         buf_batches: int = 8,
         table_cap: int = 1 << 20,
         nb_bins: int = 10000,
@@ -153,6 +153,16 @@ class DistCountEngine:
             table_cap=table_cap,
         )
         self.nb_bins = nb_bins
+        # multi-process mesh: this host feeds rows only for its own chips
+        # (jax.make_array_from_process_local_data assembles the global
+        # batch; SURVEY.md §2.4)
+        self.n_local_chips = sum(
+            1
+            for d in self.mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
+        self.multi_process = self.n_local_chips < self.n
+        self.local_batch_rows = self.rows_per_chip * self.n_local_chips
         from dsk_tpu.kmer.pallas_kernels import MIN_PALLAS_ROW_LEN
 
         self.use_pallas = (
@@ -368,20 +378,27 @@ class DistCountEngine:
         sh_p = NamedSharding(mesh, P(None, AXIS))
         sh_b = NamedSharding(mesh, P(AXIS))
 
-        buf_p = jax.device_put(
-            jnp.full((W, plan.n * plan.buf_cap), SENTINEL, jnp.uint32), sh_p
-        )
-        buf_c = jax.device_put(
-            jnp.zeros((plan.n * plan.buf_cap,), jnp.int32), sh_b
-        )
-        tab_p = jax.device_put(
-            jnp.full((W, plan.n * plan.table_cap), SENTINEL, jnp.uint32), sh_p
-        )
-        tab_c = jax.device_put(
-            jnp.zeros((plan.n * plan.table_cap,), jnp.int32), sh_b
-        )
-        over = jax.device_put(jnp.zeros((plan.n,), jnp.int32), sh_b)
-        tover = jax.device_put(jnp.zeros((plan.n,), jnp.int32), sh_b)
+        if self.multi_process:
+            # each process materializes only its addressable shards
+            def full(shape, sharding, value, dtype):
+                def cb(idx):
+                    sub = tuple(
+                        len(range(*sl.indices(dim)))
+                        for sl, dim in zip(idx, shape)
+                    )
+                    return np.full(sub, value, dtype)
+
+                return jax.make_array_from_callback(shape, sharding, cb)
+        else:
+            def full(shape, sharding, value, dtype):
+                return jax.device_put(jnp.full(shape, value, dtype), sharding)
+
+        buf_p = full((W, plan.n * plan.buf_cap), sh_p, SENTINEL, np.uint32)
+        buf_c = full((plan.n * plan.buf_cap,), sh_b, 0, np.int32)
+        tab_p = full((W, plan.n * plan.table_cap), sh_p, SENTINEL, np.uint32)
+        tab_c = full((plan.n * plan.table_cap,), sh_b, 0, np.int32)
+        over = full((plan.n,), sh_b, 0, np.int32)
+        tover = full((plan.n,), sh_b, 0, np.int32)
         return buf_p, buf_c, tab_p, tab_c, over, tover
 
     # -- driver ----------------------------------------------------------
@@ -396,6 +413,7 @@ class DistCountEngine:
         on_pass=None,
         progress_cb=None,
         n_workers: int = 1,
+        max_disk_mb: int = 0,
     ) -> CountResult:
         """Same driver contract as CountEngine.count (checkpoint hooks,
         batch cache, prefetch).  per_bank requires an engine constructed
@@ -413,11 +431,16 @@ class DistCountEngine:
             )
         from dsk_tpu.io.prefetch import prefetch
 
+        # multi-process meshes: each host reads only its share, sized for
+        # its own chips (lockstep padding happens in count_stream)
+        reader_rows = (
+            self.local_batch_rows if self.multi_process else self.batch_rows
+        )
         if n_passes <= 1:
             res = self.count_stream(
                 prefetch(
                     batch_iterator(
-                        bank, self.k, self.batch_rows, self.row_len,
+                        bank, self.k, reader_rows, self.row_len,
                         n_workers=n_workers,
                     )
                 ),
@@ -432,8 +455,8 @@ class DistCountEngine:
         done_passes = done_passes or {}
         results = []
         for p, batches in multipass_batches(
-            bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir,
-            n_workers=n_workers,
+            bank, self.k, reader_rows, self.row_len, n_passes, cache_dir,
+            n_workers=n_workers, max_disk_mb=max_disk_mb,
         ):
             if p in done_passes:
                 if p == 0 and len(done_passes) < n_passes:
@@ -473,17 +496,48 @@ class DistCountEngine:
         n_bases = 0
         n_reads = 0
 
+        if self.multi_process:
+            # SPMD contract: every process must dispatch the same number of
+            # collective steps; exhausted hosts pad with empty batches
+            from dsk_tpu.dist.multihost import lockstep_batches
+            from dsk_tpu.io.batch import PAD, Batch
+
+            rows = self.local_batch_rows
+
+            def make_empty():
+                return Batch(
+                    np.full((rows, self.row_len), PAD, np.uint8),
+                    np.zeros(rows, np.int32),
+                    0,
+                )
+
+            batches = lockstep_batches(batches, make_empty)
+
         # host->device transfers happen on a background thread so they
         # overlap device compute (double-buffered; P5 pipeline overlap)
         from dsk_tpu.io.prefetch import prefetch
 
         def put(batch):
+            codes = np.ascontiguousarray(batch.codes, np.uint8)
+            bids = np.ascontiguousarray(batch.bank_ids, np.int32)
+            if self.multi_process:
+                # this host's rows feed its own chips; the global batch is
+                # assembled across processes without replication
+                return (
+                    jax.make_array_from_process_local_data(
+                        batch_sharding, codes,
+                        (self.batch_rows, self.row_len),
+                    ),
+                    jax.make_array_from_process_local_data(
+                        batch_sharding, bids, (self.batch_rows,)
+                    ),
+                    batch.n_bases,
+                    batch.n_reads,
+                )
             where = device0 if single else batch_sharding
             return (
-                jax.device_put(batch.codes, where),
-                jax.device_put(
-                    np.ascontiguousarray(batch.bank_ids, np.int32), where
-                ),
+                jax.device_put(codes, where),
+                jax.device_put(bids, where),
                 batch.n_bases,
                 batch.n_reads,
             )
@@ -526,8 +580,21 @@ class DistCountEngine:
             "nb_banks": nb_banks,
             "n_chips": plan.n,
         }
+        if self.multi_process:
+            from jax.experimental import multihost_utils
+
+            tot = np.asarray(
+                multihost_utils.process_allgather(
+                    np.array([n_bases, n_reads], np.int64)
+                )
+            )
+            info["n_bases_local"] = n_bases
+            info["n_bases"] = int(tot[:, 0].sum())
+            info["n_reads"] = int(tot[:, 1].sum())
+            info["n_hosts"] = jax.process_count()
 
         if not self.per_bank:
+            # histogram is psum-merged on device: identical on every host
             hist = np.zeros(self.nb_bins + 1, np.int64)
             hist += np.asarray(self._hist(tab_c), dtype=np.int64)
             if not finalize:
@@ -565,16 +632,34 @@ class DistCountEngine:
             info=info,
         )
 
+    def _host_sum(self, arr) -> int:
+        """Sum of a (n,)-sharded int array, multi-process safe (local
+        shards + a process allgather)."""
+        if not self.multi_process:
+            return int(np.asarray(arr).sum())
+        local = sum(
+            int(np.asarray(s.data).sum()) for s in arr.addressable_shards
+        )
+        from jax.experimental import multihost_utils
+
+        return int(
+            np.asarray(
+                multihost_utils.process_allgather(
+                    np.array([local], np.int64)
+                )
+            ).sum()
+        )
+
     def _check_overflow(self, over, tover) -> None:
         plan = self.plan
-        n_over = int(np.asarray(over).sum())
+        n_over = self._host_sum(over)
         if n_over:
             raise RoutingOverflow(
                 f"routing overflow: {n_over} kmers exceeded the "
                 f"per-destination capacity {plan.send_cap} "
                 f"(send_slack too low for this skew)"
             )
-        if int(np.asarray(tover).sum()):
+        if self._host_sum(tover):
             raise TableOverflow(
                 f"table overflow: >{plan.table_cap} distinct kmers on a "
                 f"chip (distinct-kmer estimate too low)"
@@ -584,10 +669,15 @@ class DistCountEngine:
         """Device tables -> host (kmers (n,W), counts, partition sizes).
 
         Partition p of the output store = chip p's table (the analog of
-        dsk/solid/<i>)."""
+        dsk/solid/<i>).  On a multi-process mesh only this host's chips
+        are gathered (their global indices land in
+        self.local_partition_ids) — the partition-files analog: each host
+        owns its shard of the output."""
         if tab_p is None:
             tab_p, tab_c = self._last_state
         W, plan = self.W, self.plan
+        if self.multi_process:
+            return self._gather_tables_local(tab_p, tab_c, W)
         tp, tc = _live_prefix(tab_p, tab_c, W, plan)
         parts_w, parts_c, sizes = [], [], []
         for p in range(plan.n):
@@ -597,6 +687,39 @@ class DistCountEngine:
             sizes.append(int(mask.sum()))
         kmers = np.concatenate(parts_w, axis=0)
         counts = np.concatenate(parts_c, axis=0)
+        return kmers, counts, sizes
+
+    def _gather_tables_local(self, tab_p, tab_c, WK: int):
+        """Multi-process gather: download only this host's addressable
+        table shards.  Sets self.local_partition_ids to the global chip
+        indices of the returned partitions."""
+        cap = self.plan.table_cap
+        counts_by_chip = {}
+        for s in tab_c.addressable_shards:
+            off = s.index[0].start or 0
+            counts_by_chip[off // cap] = np.asarray(s.data)
+        planes_by_chip = {}
+        for s in tab_p.addressable_shards:
+            off = s.index[1].start or 0
+            planes_by_chip[off // cap] = np.asarray(s.data)
+        parts_w, parts_c, sizes, ids = [], [], [], []
+        for p in sorted(counts_by_chip):
+            tc = counts_by_chip[p]
+            tp = planes_by_chip[p]
+            mask = tc > 0
+            parts_w.append(tp[:, mask].T)  # (n_live, WK)
+            parts_c.append(tc[mask])
+            sizes.append(int(mask.sum()))
+            ids.append(p)
+        self.local_partition_ids = ids
+        kmers = (
+            np.concatenate(parts_w, axis=0)
+            if parts_w else np.empty((0, WK), np.uint32)
+        )
+        counts = (
+            np.concatenate(parts_c, axis=0)
+            if parts_c else np.empty((0,), np.int32)
+        )
         return kmers, counts, sizes
 
     def gather_tables_per_bank(self, tab_p, tab_c, nb_banks: int):

@@ -1,36 +1,41 @@
-"""Multi-host (multi-process) runtime scaffolding.
+"""Multi-host (multi-process) counting runtime.
 
 The reference is single-process; its cross-"partition" transport is the
-local filesystem (SURVEY.md section 2.4).  The TPU replacement spans a
-pod slice: one Python process per host, `jax.distributed` for the
-runtime, a global mesh over every chip, and host-sharded input (each
-process reads a distinct subset of the bank — the composite-bank analog).
+local filesystem (SURVEY.md §2.4, doc/paper.tex:71-76 — partition files as
+the interconnect).  The TPU replacement spans a pod slice: one Python
+process per host, `jax.distributed` for the runtime, one global mesh over
+every chip, and host-sharded input.
 
-Single-host engines work unchanged on a multi-host mesh ONLY if arrays
-are built with process-local data (jax.make_array_from_process_local_data)
-— plain device_put of a full batch would require the data on every host.
+Key pieces:
 
-Recipe (one process per host):
+  * initialize(): jax.distributed wrapper (env-auto on TPU pods).
+  * shard_bank(): this host's input share as byte-range ReadUnits — a
+    single large plain FASTA/FASTQ is split by ranges with record resync
+    (io/native/fastx.cpp fx_open_range); gzip members are dealt whole
+    (gzip has no random access — use uncompressed or multi-file input to
+    shard a single-file dataset across hosts).
+  * lockstep_batches(): pads each host's batch stream so every process
+    dispatches the SAME number of collective steps (the SPMD contract),
+    with a process-allgather "anyone still reading?" check per group.
+  * DistCountEngine handles the per-batch transport: on multi-process
+    meshes its put() builds global arrays with
+    jax.make_array_from_process_local_data (dist/engine.py).
 
-    from dsk_tpu.dist import multihost
-    multihost.initialize(coordinator="host0:8476", num_processes=N,
-                         process_id=i)          # or rely on TPU env vars
-    bank = multihost.shard_bank(open_bank(uri)) # this host's file subset
-    eng = DistCountEngine(k, mesh=default_mesh())  # global mesh
-    ...
-
-Status: the input-sharding helpers below are exercised by unit tests; the
-full multi-host count loop needs a real multi-process run (the CI
-environment is single-process) and lands with the engine integration in
-a later round.  SURVEY.md section 4.5's CPU-mesh simulation covers the
-sharding/collective logic of the engine itself.
+Each host's CountResult carries the GLOBAL histogram (psum-merged, so it
+is identical and complete on every host) and the host's LOCAL partitions
+(its chips' tables — the partition-files analog).  merge_host_results()
+combines per-host partition dumps into one table when a single file is
+wanted (scripts/multihost_count.py drives this end-to-end).
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 
 from dsk_tpu.io.bank import Bank
+from dsk_tpu.io.batch import ReadUnit, _is_gzip
 
 
 def initialize(
@@ -39,8 +44,14 @@ def initialize(
     process_id: int | None = None,
 ) -> None:
     """jax.distributed.initialize wrapper (no-op if already initialized
-    or single-process with no coordinator given)."""
-    if jax.process_count() > 1:
+    or single-process with no coordinator given).
+
+    Must run before anything touches the XLA backend, so the
+    already-initialized check reads jax.distributed's own state rather
+    than jax.process_count() (which initializes a backend)."""
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return
     if coordinator is None and num_processes is None:
         # TPU pod env (TPU_WORKER_HOSTNAMES etc.) lets jax auto-detect;
@@ -57,21 +68,131 @@ def initialize(
     )
 
 
+MIN_RANGE_BYTES = 1 << 16  # don't split plain files below 64 KB per range
+
+
 def shard_bank(
     bank: Bank,
     process_id: int | None = None,
     num_processes: int | None = None,
 ) -> Bank:
-    """This host's sub-bank: files are dealt round-robin across processes
-    (each host gunzips/parses only its share — the reference's composite
-    bank split across one machine's threads becomes a split across hosts).
+    """This host's input share, as a Bank carrying explicit ReadUnits.
 
-    Sub-bank ids are preserved globally: bank_id of a file equals its
-    index in the ORIGINAL bank, so per-bank counting stays correct.
+    Plain (non-gzip) files — including ONE single large FASTA/FASTQ — are
+    split into num_processes contiguous byte ranges (readers resync to
+    record boundaries); gzip members are dealt whole, greedily to the
+    least-loaded host.  unit.bank_id is the ORIGINAL sub-bank index and
+    nb_banks_total preserves the global bank count, so per-bank counting
+    (solidity kinds, histo2D) stays exact on every host.
     """
+    import os
+
     pid = jax.process_index() if process_id is None else process_id
     n = jax.process_count() if num_processes is None else num_processes
-    files = [f for i, f in enumerate(bank.files) if i % n == pid]
-    shard = Bank(uri=bank.uri, files=files)
-    shard.global_ids = [i for i in range(len(bank.files)) if i % n == pid]
-    return shard
+    units: list[ReadUnit] = []
+    load = [0] * n  # bytes assigned per host (greedy balance for atoms)
+    for bank_id, path in enumerate(bank.files):
+        size = os.path.getsize(path)
+        if _is_gzip(path) or size < n * MIN_RANGE_BYTES:
+            # atomic: give to the least-loaded host
+            tgt = min(range(n), key=lambda h: load[h])
+            load[tgt] += size
+            if tgt == pid:
+                units.append(ReadUnit(path, bank_id))
+        else:
+            step = size // n
+            for h in range(n):
+                load[h] += step
+                if h == pid:
+                    start = h * step
+                    end = (h + 1) * step if h < n - 1 else -1
+                    units.append(ReadUnit(path, bank_id, start, end))
+    files = sorted({u.path for u in units})
+    return Bank(
+        uri=bank.uri,
+        files=files,
+        units=units,
+        nb_banks_total=len(bank.files),
+    )
+
+
+_LOCKSTEP_EPOCH = [0]
+
+
+def lockstep_batches(batches, make_empty, group: int = 8):
+    """Yield batches in global lockstep: every process yields the same
+    number of items per group; exhausted hosts yield empty (all-PAD)
+    batches until every host is done.
+
+    The group-boundary consensus goes through the jax.distributed
+    KEY-VALUE STORE (host-side gRPC), NOT a device collective: this
+    generator is driven by the prefetch thread concurrently with the main
+    thread's route/flush collectives, and two threads issuing device
+    collectives in different orders per process would deadlock the mesh.
+    Single-process: plain passthrough.
+    """
+    if jax.process_count() <= 1:
+        yield from batches
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    _LOCKSTEP_EPOCH[0] += 1
+    epoch = _LOCKSTEP_EPOCH[0]
+
+    it = iter(batches)
+    exhausted = False
+    rnd = 0
+    while True:
+        client.key_value_set(
+            f"dsk_tpu_ls/{epoch}/{rnd}/{pid}", "0" if exhausted else "1"
+        )
+        any_more = False
+        for p in range(nproc):
+            v = client.blocking_key_value_get(
+                f"dsk_tpu_ls/{epoch}/{rnd}/{p}", 600_000
+            )
+            any_more = any_more or v == "1"
+        if not any_more:
+            return
+        rnd += 1
+        for _ in range(group):
+            b = None
+            if not exhausted:
+                try:
+                    b = next(it)
+                except StopIteration:
+                    exhausted = True
+            if b is None:
+                b = make_empty()
+            yield b
+
+
+def merge_host_results(results: list) -> "object":
+    """Combine per-host CountResults (each holding its chips' partitions)
+    into one global result.  Partitions are disjoint in kmer space (hash
+    routing assigns each kmer to exactly one chip), so this is a
+    concatenation + global re-sort; histograms are identical on every
+    host (psum-merged) — take the first."""
+    from dsk_tpu.engine.counter import CountResult
+
+    first = results[0]
+    kmers = np.concatenate([r.kmers for r in results], axis=0)
+    counts = np.concatenate([r.counts for r in results], axis=0)
+    order = np.lexsort(
+        tuple(kmers[:, w] for w in range(kmers.shape[1] - 1, -1, -1))
+    )
+    info = dict(first.info)
+    info["n_hosts"] = len(results)
+    info["n_bases"] = sum(r.info.get("n_bases", 0) for r in results)
+    info["n_reads"] = sum(r.info.get("n_reads", 0) for r in results)
+    info.pop("partition_sizes", None)
+    return CountResult(
+        k=first.k,
+        kmers=kmers[order],
+        counts=counts[order],
+        histogram=first.histogram,
+        info=info,
+    )

@@ -152,6 +152,7 @@ class CountEngine:
         done_passes: dict[int, CountResult] | None = None,
         on_pass=None,
         n_workers: int = 1,
+        max_disk_mb: int = 0,
     ) -> CountResult:
         """Full count.  Multi-pass restartability (SURVEY.md section 5.3-4):
         done_passes supplies already-completed pass results (from a
@@ -185,7 +186,7 @@ class CountEngine:
         results = []
         for p, batches in multipass_batches(
             bank, self.k, self.batch_rows, self.row_len, n_passes, cache_dir,
-            n_workers=n_workers,
+            n_workers=n_workers, max_disk_mb=max_disk_mb,
         ):
             if p in done_passes:
                 # drain pass-0's tee so the cache still gets written
@@ -311,10 +312,17 @@ def multipass_batches(
     n_passes: int,
     cache_dir: str | None = None,
     n_workers: int = 1,
+    max_disk_mb: int = 0,
 ):
     """Yield (pass_id, batch_iterable) per pass; pass 0 reads the bank and
     tees a 2-bit batch cache, later passes stream the cache (C11 analog).
-    The cache is removed when the generator is exhausted or closed."""
+    The cache is removed when the generator is exhausted or closed.
+
+    max_disk_mb bounds the cache (the reference's -max-disk budget,
+    README.md:130); 0 = auto (free space on the cache filesystem minus a
+    safety margin).  If the budget (or the disk) is exhausted mid-tee the
+    cache is dropped and later passes re-read the bank — bounded disk use
+    at the cost of re-parsing, never a crashed run."""
     import tempfile
     import uuid
 
@@ -324,8 +332,20 @@ def multipass_batches(
 
     d = cache_dir or tempfile.gettempdir()
     path = os.path.join(d, f"dsk_tpu_cache_{uuid.uuid4().hex}.bin")
+    if max_disk_mb and max_disk_mb > 0:
+        max_bytes = max_disk_mb << 20
+    else:
+        try:
+            import shutil
+
+            free = shutil.disk_usage(d).free
+            max_bytes = max(free - (1 << 30), 1 << 20)  # keep 1 GB headroom
+        except OSError:
+            max_bytes = None
     try:
-        writer = bcache.BatchCacheWriter(path, k, batch_rows, row_len)
+        writer = bcache.BatchCacheWriter(
+            path, k, batch_rows, row_len, max_bytes=max_bytes
+        )
         yield 0, bcache.teeing_iterator(
             prefetch(
                 batch_iterator(bank, k, batch_rows, row_len, n_workers=n_workers)
@@ -333,7 +353,14 @@ def multipass_batches(
             writer,
         )
         for p in range(1, n_passes):
-            yield p, prefetch(bcache.read_batches(path))
+            if getattr(writer, "aborted", False):
+                yield p, prefetch(
+                    batch_iterator(
+                        bank, k, batch_rows, row_len, n_workers=n_workers
+                    )
+                )
+            else:
+                yield p, prefetch(bcache.read_batches(path))
     finally:
         if os.path.exists(path):
             os.unlink(path)

@@ -260,6 +260,7 @@ def execute(params: RunParams) -> RunOutput:
             done_passes=done_passes,
             on_pass=on_pass,
             n_workers=n_workers,
+            max_disk_mb=params.max_disk,
         )
         if hasattr(engine, "compile"):  # mesh engine streams with progress
             count_kwargs["progress_cb"] = batch_progress

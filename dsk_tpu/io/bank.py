@@ -45,13 +45,23 @@ def _looks_like_album(path: str) -> bool:
 
 @dataclass
 class Bank:
-    """An ordered list of sequence files, each a sub-bank."""
+    """An ordered list of sequence files, each a sub-bank.
+
+    A sharded view (multi-host input sharding, dist/multihost.py) sets
+    `units` — explicit ReadUnits whose bank_id is the ORIGINAL sub-bank
+    index — and `nb_banks_total`, so per-bank semantics (solidity kinds,
+    histo2D) stay globally correct on every host.
+    """
 
     uri: str
     files: list[str] = field(default_factory=list)
+    units: list | None = None          # list[ReadUnit] override
+    nb_banks_total: int | None = None  # original bank count (sharded views)
 
     @property
     def nb_banks(self) -> int:
+        if self.nb_banks_total is not None:
+            return self.nb_banks_total
         return len(self.files)
 
     def iter_sequences(self) -> Iterator[tuple[int, Sequence]]:

@@ -96,6 +96,31 @@ def chunk_codes(codes: np.ndarray, k: int, row_len: int) -> list[np.ndarray]:
     return out
 
 
+def subdivide_units(
+    units: list[ReadUnit], n_units: int, min_bytes: int = MIN_SPLIT_BYTES
+) -> list[ReadUnit]:
+    """Split plain-file ReadUnits further by byte range (gz units and tiny
+    ranges stay whole) — reader parallelism within a pre-sharded bank."""
+    sized = []
+    for u in units:
+        end = u.end if u.end >= 0 else os.path.getsize(u.path)
+        sized.append((u, end - u.start))
+    total = sum(s for _, s in sized) or 1
+    out: list[ReadUnit] = []
+    for u, size in sized:
+        if _is_gzip(u.path) or size <= min_bytes:
+            out.append(u)
+            continue
+        share = max(1, round(n_units * size / total))
+        n = min(share, max(1, size // min_bytes))
+        step = size // n
+        for i in range(n):
+            start = u.start + i * step
+            end = u.start + (i + 1) * step if i < n - 1 else u.end
+            out.append(ReadUnit(u.path, u.bank_id, start, end))
+    return out
+
+
 def batch_iterator(
     bank: Bank,
     k: int,
@@ -124,7 +149,9 @@ def batch_iterator(
             bank, k, batch_rows, row_len, n_workers, use_native=use_native
         )
         return
-    units = [ReadUnit(p, i) for i, p in enumerate(bank.files)]
+    units = getattr(bank, "units", None) or [
+        ReadUnit(p, i) for i, p in enumerate(bank.files)
+    ]
     yield from _units_batch_stream(
         units, k, batch_rows, row_len, use_native,
         global_ids=getattr(bank, "global_ids", None),
@@ -236,7 +263,11 @@ def parallel_batch_iterator(
         from dsk_tpu.io import native
 
         use_native = native.available()
-    units = split_bank_units(bank, n_units=n_workers * 4)
+    preset = getattr(bank, "units", None)
+    if preset is not None:
+        units = subdivide_units(preset, n_units=n_workers * 4)
+    else:
+        units = split_bank_units(bank, n_units=n_workers * 4)
     n_workers = max(1, min(n_workers, len(units)))
     global_ids = getattr(bank, "global_ids", None)
 

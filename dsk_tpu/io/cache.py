@@ -31,6 +31,13 @@ from dsk_tpu.io.batch import PAD, Batch
 _MAGIC = "dskbatch1"
 
 
+class CacheBudgetExceeded(RuntimeError):
+    """The 2-bit cache would exceed the -max-disk budget (the reference
+    enforces a disk budget and picks n_iters from it, doc/paper.tex:66,
+    README.md:130).  Multi-pass runs catch this and fall back to
+    re-reading the input bank each pass (bounded disk, more parse time)."""
+
+
 def _pack2(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(rows, L) uint8 codes -> (packed 2-bit, packed validity bits)."""
     rows, L = codes.shape
@@ -58,8 +65,17 @@ def _unpack2(packed: np.ndarray, vbits: np.ndarray, L: int) -> np.ndarray:
 
 
 class BatchCacheWriter:
-    def __init__(self, path: str, k: int, batch_rows: int, row_len: int):
+    def __init__(
+        self,
+        path: str,
+        k: int,
+        batch_rows: int,
+        row_len: int,
+        max_bytes: int | None = None,
+    ):
         self.path = path
+        self.max_bytes = max_bytes
+        self.bytes_written = 0
         self._f = open(path, "wb")
         self._f.write(
             (json.dumps(
@@ -70,19 +86,37 @@ class BatchCacheWriter:
 
     def append(self, batch: Batch) -> None:
         packed, vbits = _pack2(batch.codes[: batch.n_rows])
+        bids = np.ascontiguousarray(
+            batch.bank_ids[: batch.n_rows], dtype=np.int32
+        ).tobytes()
+        nbytes = 20 + packed.nbytes + vbits.nbytes + len(bids)
+        if (
+            self.max_bytes is not None
+            and self.bytes_written + nbytes > self.max_bytes
+        ):
+            raise CacheBudgetExceeded(
+                f"batch cache would exceed the disk budget "
+                f"({self.max_bytes >> 20} MB): falling back to re-reading "
+                f"the input each pass"
+            )
         self._f.write(
             struct.pack("<IQQ", batch.n_rows, batch.n_bases, batch.n_reads)
         )
         self._f.write(packed.tobytes())
         self._f.write(vbits.tobytes())
-        self._f.write(
-            np.ascontiguousarray(
-                batch.bank_ids[: batch.n_rows], dtype=np.int32
-            ).tobytes()
-        )
+        self._f.write(bids)
+        self.bytes_written += nbytes
 
     def close(self) -> None:
         self._f.close()
+
+    def abort(self) -> None:
+        """Stop caching and reclaim the disk (budget fallback)."""
+        try:
+            self._f.close()
+        finally:
+            if os.path.exists(self.path):
+                os.unlink(self.path)
 
 
 def read_batches(path: str) -> Iterator[Batch]:
@@ -118,8 +152,19 @@ def read_batches(path: str) -> Iterator[Batch]:
 
 
 def teeing_iterator(batches, writer: BatchCacheWriter) -> Iterator[Batch]:
-    """Yield batches while writing them to the cache (pass 0 of multi-pass)."""
+    """Yield batches while writing them to the cache (pass 0 of multi-pass).
+
+    If the cache hits its disk budget (or the disk itself fills), caching
+    is ABORTED — the partial file is deleted, writer.aborted is set, and
+    the stream continues uncached; later passes then re-read the bank."""
+    writer.aborted = False
     for batch in batches:
-        writer.append(batch)
+        if not writer.aborted:
+            try:
+                writer.append(batch)
+            except (CacheBudgetExceeded, OSError):
+                writer.abort()
+                writer.aborted = True
         yield batch
-    writer.close()
+    if not writer.aborted:
+        writer.close()

@@ -60,7 +60,7 @@ def main():
     bench("flat lax.sort 5M keys=2 +1 payload",
           lambda a, b, w: jax.lax.sort((rot(a), b, w), num_keys=2),
           (p0, p1, wts))
-    for S_ in (64, 256, 1024):
+    for S_ in (256,):
         R_ = N // S_
         bench(f"batched lax.sort ({S_},{R_}) keys=2 +1 payload",
               lambda a, b, w: jax.lax.sort(

@@ -1,0 +1,139 @@
+"""Multi-host counting driver: one process per host.
+
+The multi-host replacement for the reference's single-machine run — the
+filesystem "interconnect" (partition files, /root/reference/doc/paper.tex:71-76)
+becomes jax.distributed + a global mesh + all_to_all routing
+(SURVEY.md §2.4).  Each process reads its byte-range shard of the input
+(dist/multihost.shard_bank), streams in lockstep, and ends with:
+
+  * the GLOBAL abundance histogram (identical on every host),
+  * its own chips' partitions (the partition-files analog), saved as
+    <out>.part<pid>.npz,
+
+after which process 0 merges the partition files into the final HDF5
+store + .histo (the same outputs as a single-host `dsk` run).
+
+Launch (every host, or locally for testing):
+
+    python scripts/multihost_count.py -coordinator host0:8476 \
+        -num-processes N -process-id I -file reads.fasta -kmer-size 27 \
+        -out /shared/out [-abundance-min 2] [-table-cap 2**20] ...
+
+CPU simulation: JAX_PLATFORMS=cpu + xla_force_host_platform_device_count.
+"""
+
+import argparse
+import os
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(prefix_chars="-")
+    ap.add_argument("-coordinator", required=True)
+    ap.add_argument("-num-processes", dest="num_processes", type=int,
+                    required=True)
+    ap.add_argument("-process-id", dest="process_id", type=int, required=True)
+    ap.add_argument("-file", required=True)
+    ap.add_argument("-kmer-size", dest="kmer_size", type=int, default=31)
+    ap.add_argument("-abundance-min", dest="abundance_min", type=int,
+                    default=2)
+    ap.add_argument("-out", required=True)
+    ap.add_argument("-batch-rows", dest="batch_rows", type=int, default=256)
+    ap.add_argument("-row-len", dest="row_len", type=int, default=256)
+    ap.add_argument("-table-cap", dest="table_cap", type=int, default=1 << 18)
+    ap.add_argument("-nb-cores", dest="nb_cores", type=int, default=1)
+    args = ap.parse_args()
+
+    from dsk_tpu.dist import multihost
+
+    multihost.initialize(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    import jax
+    from jax.experimental import multihost_utils
+
+    pid = jax.process_index()
+    print(
+        f"[mh {pid}] {jax.process_count()} processes, "
+        f"{len(jax.local_devices())} local / {len(jax.devices())} global "
+        f"devices", file=sys.stderr, flush=True,
+    )
+
+    from dsk_tpu.dist.engine import DistCountEngine, default_mesh
+    from dsk_tpu.io.bank import open_bank
+    from dsk_tpu.store import text as store_text
+    from dsk_tpu.store.hdf5 import OutputStore
+
+    bank = open_bank(args.file)
+    shard = multihost.shard_bank(bank)
+    print(f"[mh {pid}] shard units: "
+          f"{[(os.path.basename(u.path), u.start, u.end) for u in shard.units]}",
+          file=sys.stderr, flush=True)
+
+    engine = DistCountEngine(
+        args.kmer_size,
+        mesh=default_mesh(),
+        batch_rows=args.batch_rows,
+        row_len=args.row_len,
+        table_cap=args.table_cap,
+    )
+    res = engine.count(shard, n_workers=args.nb_cores)
+
+    # every host persists its partitions; process 0 merges after a barrier
+    ids = res.info.get("partition_ids", engine.local_partition_ids)
+    np.savez(
+        f"{args.out}.part{pid}.npz",
+        kmers=res.kmers,
+        counts=res.counts,
+        partition_ids=np.array(ids, np.int32),
+        sizes=np.array(res.info["partition_sizes"], np.int64),
+        histogram=res.histogram,
+    )
+    multihost_utils.sync_global_devices("dsk_tpu_mh_parts_written")
+
+    if pid == 0:
+        parts = []
+        for i in range(jax.process_count()):
+            parts.append(np.load(f"{args.out}.part{i}.npz"))
+        order = np.argsort(
+            np.concatenate([p["partition_ids"] for p in parts])
+        )
+        all_ids = np.concatenate([p["partition_ids"] for p in parts])
+        chunks = {}
+        for p in parts:
+            off = 0
+            for gid, sz in zip(p["partition_ids"], p["sizes"]):
+                chunks[int(gid)] = (
+                    p["kmers"][off : off + sz], p["counts"][off : off + sz]
+                )
+                off += sz
+        del order, all_ids
+        with OutputStore.create(args.out + ".h5", args.kmer_size) as store:
+            for gid in sorted(chunks):
+                km, ct = chunks[gid]
+                solid = ct >= args.abundance_min
+                store.write_solid_partition(gid, km[solid], ct[solid])
+            store.write_histogram(res.histogram)
+            store.set_run_info(
+                {
+                    "kmer_size": args.kmer_size,
+                    "n_hosts": jax.process_count(),
+                    "input": args.file,
+                    **res.info,
+                }
+            )
+        with open(args.out + ".histo", "w") as f:
+            store_text.write_histo(res.histogram, f)
+        print(f"[mh 0] wrote {args.out}.h5 / .histo", file=sys.stderr,
+              flush=True)
+    multihost_utils.sync_global_devices("dsk_tpu_mh_done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,17 +1,26 @@
 #!/bin/bash
-# Real-data exactness test (the reference's strongest parity oracle,
-# test/test_ERR039477.sh): download run ERR039477 from EBI, count with
-# defaults, dump, and compare against DSK's committed md5 of the dump.
+# Real-data exactness gate (the reference's strongest parity oracle,
+# /root/reference/test/test_ERR039477.sh): download run ERR039477 from
+# EBI, count with PURE DEFAULTS (k=31, abundance-min=2 — exactly
+# `dsk -file ERR039477.fastq.gz`, reference line 11), dump, and DIFF.
 #
-# Two caveats vs the reference:
-#  1. NETWORK-GATED: skipped cleanly when the environment has no egress
-#     (the development container is zero-egress).
-#  2. The reference md5 (9e0327344593cfefb0f8957017297bfe) is over
-#     dsk2ascii's PARTITION-ORDER dump; dsk_tpu's partition count/order
-#     differs by design, so the normative comparison is the SORTED dump
-#     (SURVEY.md section 7.2-3).  This script md5s the sorted dump and
-#     compares the (kmer count) SET sizes + histogram instead; exact
-#     set-equality vs a reference dsk run requires the reference binary.
+# Comparison contract (documented design decision, SURVEY.md §7.2 item 3):
+# the reference's committed md5 (test/ERR039477.md5 =
+# 9e0327344593cfefb0f8957017297bfe) is over dsk2ascii's PARTITION-ORDER
+# dump; dsk_tpu's partition count/order differs by design (partitions =
+# owner chips, not disk files), so the normative oracle here is the
+# SORTED (kmer, count) SET:
+#   1. the sorted dump is diffed byte-for-byte against the trusted Python
+#      oracle (dsk_tpu.oracle — itself pinned by every reference fixture)
+#      run on the same downloaded file -> machine-checked exactness;
+#   2. the sorted-dump md5 is compared against
+#      tests/data/ERR039477.sorted.md5 when that file exists (commit it
+#      from the first network-enabled verified run);
+#   3. equivalence to the reference md5 then follows because dsk2ascii
+#      dumps are permutations of the same (kmer, count) lines.
+#
+# SKIPs (exit 0) ONLY when the download fails (zero-egress environment);
+# any comparison mismatch is a hard failure.
 
 set -e
 cd "$(dirname "$0")/.."
@@ -28,10 +37,41 @@ if [ ! -f "$F" ]; then
     fi
 fi
 
-python -m dsk_tpu.cli.dsk -file "$F" -kmer-size 31 -abundance-min 3 \
-    -out /tmp/ERR039477 -verbose 1
+# reference defaults: only -file is given a value; -out for a stable path
+python -m dsk_tpu.cli.dsk -file "$F" -out /tmp/ERR039477 -verbose 1
 python -m dsk_tpu.cli.dsk2ascii -file /tmp/ERR039477.h5 -out /tmp/ERR039477.txt
 
-sort /tmp/ERR039477.txt | md5sum | tee /tmp/ERR039477.sorted.md5
-wc -l /tmp/ERR039477.txt
-echo "done (compare the sorted dump against a sorted reference dsk2ascii dump)"
+LC_ALL=C sort /tmp/ERR039477.txt > /tmp/ERR039477.sorted.txt
+md5sum /tmp/ERR039477.sorted.txt | awk '{print $1}' > /tmp/ERR039477.sorted.md5
+echo "sorted dump md5: $(cat /tmp/ERR039477.sorted.md5) ($(wc -l < /tmp/ERR039477.sorted.txt) kmers)"
+
+# 1) oracle diff (the hard gate)
+python - <<'EOF'
+from dsk_tpu.oracle import count_bank
+from dsk_tpu.kmer import codec
+
+oracle = count_bank("/tmp/ERR039477.fastq.gz", 31)
+expected = sorted(
+    f"{codec.kmer_to_string(v, 31)} {c}"
+    for v, c in oracle.items()
+    if c >= 2  # default -abundance-min
+)
+got = [ln.rstrip("\n") for ln in open("/tmp/ERR039477.sorted.txt")]
+assert got == expected, (
+    f"dump mismatch: {len(got)} lines vs oracle {len(expected)}"
+)
+print(f"oracle diff OK ({len(got)} solid kmers)")
+EOF
+
+# 2) pinned-md5 regression (when committed)
+if [ -f tests/data/ERR039477.sorted.md5 ]; then
+    if ! diff -q /tmp/ERR039477.sorted.md5 tests/data/ERR039477.sorted.md5; then
+        echo "FAIL: sorted-dump md5 changed vs pinned tests/data/ERR039477.sorted.md5"
+        exit 1
+    fi
+    echo "pinned md5 OK"
+else
+    echo "note: tests/data/ERR039477.sorted.md5 not committed yet; commit"
+    echo "      /tmp/ERR039477.sorted.md5 after verifying against reference dsk"
+fi
+echo "PASS"

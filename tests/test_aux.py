@@ -16,10 +16,14 @@ def test_shard_bank_round_robin(data_dir):
     bank = open_bank(files)
     s0 = shard_bank(bank, process_id=0, num_processes=2)
     s1 = shard_bank(bank, process_id=1, num_processes=2)
-    assert s0.files + s1.files != []
-    assert sorted(s0.files + s1.files) == sorted(bank.files)
-    assert s0.global_ids == [0, 2]
-    assert s1.global_ids == [1, 3]
+    # gz members are atomic: every file lands on exactly one host, bank_id
+    # stays the ORIGINAL index, and the global bank count is preserved
+    units = sorted(
+        (u.path, u.bank_id) for u in (s0.units + s1.units)
+    )
+    assert units == sorted((p, i) for i, p in enumerate(bank.files))
+    assert s0.nb_banks == s1.nb_banks == 4
+    assert all(u.start == 0 and u.end == -1 for u in s0.units + s1.units)
 
 
 def test_plot_histo(data_dir, tmp_path):

@@ -61,3 +61,30 @@ def test_multipass_uses_cache_and_matches(data_dir, tmp_path, monkeypatch):
     leftovers = glob.glob(str(tmp_path / "dsk_tpu_cache_*"))
     assert leftovers == []
     tempfile.tempdir = None
+
+
+def test_multipass_disk_budget_fallback(data_dir, tmp_path, monkeypatch):
+    """A -max-disk budget too small for the cache must NOT fail the run:
+    caching aborts, later passes re-read the bank, counts stay exact
+    (the reference enforces a disk budget, README.md:130)."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    eng = CountEngine(27, batch_rows=512, row_len=128)
+    res = eng.count(uri, n_passes=3, max_disk_mb=0)  # auto: plenty
+    eng2 = CountEngine(27, batch_rows=512, row_len=128)
+    # force a 16 KB budget: the cache aborts almost immediately
+    from dsk_tpu.io import cache as bcache
+
+    orig = bcache.BatchCacheWriter
+
+    def tiny_writer(path, k, batch_rows, row_len, max_bytes=None):
+        return orig(path, k, batch_rows, row_len, max_bytes=16 << 10)
+
+    monkeypatch.setattr(bcache, "BatchCacheWriter", tiny_writer)
+    res2 = eng2.count(uri, n_passes=3)
+    g1 = {codec.words_to_value(r): int(a) for r, a in zip(res.kmers, res.counts)}
+    g2 = {codec.words_to_value(r): int(a) for r, a in zip(res2.kmers, res2.counts)}
+    assert g1 == g2
+    assert glob.glob(str(tmp_path / "dsk_tpu_cache_*")) == []
+    tempfile.tempdir = None

@@ -1,0 +1,104 @@
+"""Full multi-host counting loop on a 2-process CPU mesh.
+
+VERDICT r1 acceptance: a 2-process run (jax.distributed local) reproduces
+k27.histo from a SINGLE input file, sharded by byte ranges.  CPU-mesh
+simulation per SURVEY.md §4.5 (2 virtual devices per process -> a global
+4-chip mesh spanning two processes).
+"""
+
+import gzip
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import load_histo_fixture
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def plain_fixture(tmp_path_factory, ):
+    """Uncompressed copy of the k27 fixture (plain files are the ones that
+    byte-range-shard; gz members have no random access)."""
+    data = os.path.join(REPO, "tests", "data", "read50x_ref10K_e001.fasta.gz")
+    out = tmp_path_factory.mktemp("mh") / "read50x.fasta"
+    with gzip.open(data, "rb") as f, open(out, "wb") as g:
+        g.write(f.read())
+    return str(out)
+
+
+@pytest.mark.slow
+def test_two_process_single_file(plain_fixture, tmp_path, data_dir):
+    port = _free_port()
+    out = str(tmp_path / "mh")
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO,
+    )
+    procs = []
+    for pid in (0, 1):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "scripts", "multihost_count.py"),
+                    "-coordinator", f"localhost:{port}",
+                    "-num-processes", "2",
+                    "-process-id", str(pid),
+                    "-file", plain_fixture,
+                    "-kmer-size", "27",
+                    "-abundance-min", "1",
+                    "-out", out,
+                    "-batch-rows", "256",
+                    "-row-len", "128",
+                    "-table-cap", str(1 << 16),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                cwd=REPO,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+
+    # the global histogram must be byte-exact vs the reference fixture
+    got = {}
+    with open(out + ".histo") as f:
+        for line in f:
+            a, c = line.split()
+            got[int(a)] = int(c)
+    want = load_histo_fixture(data_dir / "k27.histo")
+    assert got == want
+
+    # and the merged partitions must hold the oracle's exact counts
+    from dsk_tpu.oracle import count_bank
+    from dsk_tpu.kmer import codec
+
+    oracle = count_bank(plain_fixture, 27)
+    total = 0
+    parts = [np.load(f"{out}.part{i}.npz") for i in (0, 1)]
+    seen = {}
+    for p in parts:
+        for row, c in zip(p["kmers"], p["counts"]):
+            v = codec.words_to_value(row)
+            assert v not in seen  # partitions are disjoint in kmer space
+            seen[v] = int(c)
+            total += 1
+    assert total == len(oracle)
+    assert seen == {v: c for v, c in oracle.items()}
