@@ -89,9 +89,6 @@ def _host_distinct_two_point(
     (the codec's multi-word path is python-int; estimates don't need
     scale).
     """
-    big_k = k > 32
-    if big_k:
-        limit_bases = min(limit_bases, 1 << 19)
     parts: list[np.ndarray] = []
     sep = np.array([0xFF], dtype=np.uint8)
     seen = 0
@@ -107,19 +104,27 @@ def _host_distinct_two_point(
     cat = np.concatenate(parts)
     if cat.shape[0] < k:
         return 0, 0, 0, 0
-    v, ok = codec.canonical_windows(cat, k)
-    half_mask = np.arange(ok.shape[0]) < (cat.shape[0] // 2)
-    if big_k:
-        full = set(int(x) for x in v[ok])
-        halfs = set(int(x) for x in v[ok & half_mask])
-        return int((ok & half_mask).sum()), len(halfs), int(ok.sum()), len(full)
-    vals = np.asarray(v[ok], dtype=np.uint64)
-    half = np.asarray(v[ok & half_mask], dtype=np.uint64)
+    half_bound = cat.shape[0] // 2
+    if k <= 32:
+        v, ok = codec.canonical_windows(cat, k)
+        half_mask = np.arange(ok.shape[0]) < half_bound
+        vals = np.asarray(v[ok], dtype=np.uint64)
+        half = np.asarray(v[ok & half_mask], dtype=np.uint64)
+        return (
+            int((ok & half_mask).sum()),
+            int(np.unique(half).shape[0]),
+            int(ok.sum()),
+            int(np.unique(vals).shape[0]),
+        )
+    # large k: vectorized multi-word windows + void-view distinct count
+    # (the python-int fallback degraded badly for W >= 3 — VERDICT r1)
+    words, ok = codec.canonical_window_words(cat, k)
+    half_mask = np.arange(ok.shape[0]) < half_bound
     return (
         int((ok & half_mask).sum()),
-        int(np.unique(half).shape[0]),
+        codec.distinct_window_count(words[ok & half_mask]),
         int(ok.sum()),
-        int(np.unique(vals).shape[0]),
+        codec.distinct_window_count(words[ok]),
     )
 
 

@@ -102,6 +102,55 @@ def words_to_value(words: np.ndarray) -> int:
     return v
 
 
+def canonical_window_words(
+    codes: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All canonical windows as (nw, W) uint32 word rows — vectorized for
+    ANY k (the numpy mirror of device.extract_canonical; used by the
+    planner's large-k sampling, which must not degrade to python ints).
+
+    Returns (words, valid); invalid windows hold junk rows (mask first).
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    W = words_per_kmer(k)
+    if n < k:
+        return np.empty((0, W), np.uint32), np.empty(0, bool)
+    nw = n - k + 1
+    is_valid = codes <= 3
+    bad = (~is_valid).astype(np.int64)
+    cbad = np.concatenate([[0], np.cumsum(bad)])
+    valid = (cbad[k:] - cbad[:-k]) == 0
+
+    c = np.where(is_valid, codes, 0).astype(np.uint32)
+    fwd = np.zeros((W, nw), np.uint32)
+    rc = np.zeros((W, nw), np.uint32)
+    for j in range(k):
+        win = c[j : nw + j]
+        p = 2 * (k - 1 - j)
+        fwd[W - 1 - p // 32] |= win << np.uint32(p % 32)
+        q = 2 * j
+        rc[W - 1 - q // 32] |= (win ^ np.uint32(2)) << np.uint32(q % 32)
+    # canonical = lexicographic min over big-endian words
+    lt = np.zeros(nw, bool)
+    eq = np.ones(nw, bool)
+    for w in range(W):
+        lt |= eq & (fwd[w] < rc[w])
+        eq &= fwd[w] == rc[w]
+    use_fwd = lt | eq
+    out = np.where(use_fwd[None, :], fwd, rc)
+    return out.T.copy(), valid
+
+
+def distinct_window_count(words: np.ndarray) -> int:
+    """Number of distinct (nw, W) uint32 rows (void-view unique)."""
+    if words.shape[0] == 0:
+        return 0
+    rows = np.ascontiguousarray(words)
+    view = rows.view([("", np.uint32)] * rows.shape[1]).ravel()
+    return int(np.unique(view).shape[0])
+
+
 def canonical_windows(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All valid canonical k-mers of one encoded sequence (host reference impl).
 
