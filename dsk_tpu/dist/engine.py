@@ -119,7 +119,17 @@ class DistCountEngine:
         nb_bins: int = 10000,
         n_passes: int = 1,
         per_bank: bool = False,
+        routing: str = "hash",
+        minimizer_size: int = 10,
+        max_span: int = 32,
+        repartition: np.ndarray | None = None,
     ):
+        """routing: "hash" (per-kmer hash owners, local dedup before the
+        all_to_all) or "superkmer" (KMC3-style: consecutive windows
+        sharing a minimizer travel as ONE packed-bases record, cutting
+        ICI bytes ~(k-m)/2-fold; owner = hash(minimizer) % n or the
+        frequency-balanced repartition table — reference CHANGELOG.md:13,
+        SURVEY.md C6).  Single-chip meshes ignore routing (raw append)."""
         self.k = k
         self.n_passes = n_passes
         self.per_bank = per_bank
@@ -132,11 +142,26 @@ class DistCountEngine:
         self.row_len = max(row_len, k)
         self.rows_per_chip = max(1, batch_rows // self.n)
         self.batch_rows = self.rows_per_chip * self.n
+        if routing not in ("hash", "superkmer"):
+            raise ValueError(f"unknown routing {routing!r}")
+        self.routing = routing if self.n > 1 else "hash"
+        self.minimizer_size = minimizer_size
+        self.max_span = max_span
+        self.repartition = repartition
         nw = self.row_len - k + 1
         m = self.rows_per_chip * nw
         if self.n == 1:
             send_cap = 0
             recv = m
+        elif self.routing == "superkmer":
+            # records, not kmers: mean span ~ (k - m_len + 2) / 2 windows
+            # per record; slack covers skew + the split of long runs
+            mean_span = max((k - minimizer_size + 2) / 2.0, 1.0)
+            est_recs = m / mean_span
+            send_cap = int(np.ceil(est_recs / self.n * max(send_slack, 3.0)))
+            send_cap = min(max(send_cap, 64), m)
+            # each received record expands to <= max_span windows
+            recv = self.n * send_cap * max_span
         else:
             send_cap = int(np.ceil(m / self.n * send_slack))
             send_cap = min(max(send_cap, 64), m)
@@ -287,6 +312,125 @@ class DistCountEngine:
             )
             return buf_p, buf_c, over
 
+        # superkmer routing constants (routing == "superkmer")
+        mlen = self.minimizer_size
+        max_span = self.max_span
+        SKL = max_span + k - 1                  # bases per record row
+        RW = (SKL + 15 + 15) // 16              # packed words per record
+        Csk = plan.send_cap
+        if self.repartition is not None:
+            repart_dev = jnp.asarray(self.repartition, jnp.int32)
+        else:
+            repart_dev = None
+
+        def route_shard_sk(batch, bids, buf_p, buf_c, over, slot, pass_sel):
+            """Superkmer-compressed routing (reference CHANGELOG.md:13):
+            consecutive windows sharing a (strand-symmetric) minimizer
+            travel as one (meta, packed bases) record over the
+            all_to_all; the OWNER unpacks and extracts canonical kmers.
+            ICI bytes per window ~ (RW+1)/span vs (WK+1) for hash routing.
+            """
+            from dsk_tpu.kmer.minimizer import (
+                superkmer_records,
+                unpack_records_to_rows,
+            )
+
+            B = plan.rows_per_chip
+            nw = plan.nw
+            m = plan.m
+            rec_mins, is_rec, span2d, packed, _ = superkmer_records(
+                batch, k, mlen, max_span
+            )
+            PWrow = packed.shape[1]
+            mins_f = rec_mins.reshape(m)
+            span_f = span2d.reshape(m)
+            is_rec_f = is_rec.reshape(m)
+            if repart_dev is not None:
+                owner = repart_dev[
+                    jnp.clip(mins_f, 0, repart_dev.shape[0] - 1).astype(
+                        jnp.int32
+                    )
+                ] % jnp.int32(n)
+            else:
+                owner = (
+                    kmer_hash_planes((mins_f,)) % jnp.uint32(n)
+                ).astype(jnp.int32)
+            owner = jnp.where(is_rec_f, owner, n)
+
+            # compact records: 1-key owner sort carrying the flat index
+            idx0 = jnp.arange(m, dtype=jnp.int32)
+            sowner, sidx = jax.lax.sort((owner, idx0), num_keys=1)
+            idx = jnp.arange(m, dtype=jnp.int32)
+            is_new = jnp.ones((m,), jnp.bool_).at[1:].set(
+                sowner[1:] != sowner[:-1]
+            )
+            group_start = jax.lax.cummax(jnp.where(is_new, idx, 0), axis=0)
+            pos = idx - group_start
+
+            srow = sidx // nw
+            scol = sidx % nw
+            sspan = jnp.take(span_f, sidx)
+            sbank = jnp.take(bids.astype(jnp.uint32), srow)
+            bit_off = (scol % 16).astype(jnp.uint32)
+            meta = (
+                bit_off
+                | (sspan.astype(jnp.uint32) << 4)
+                | (sbank << 11)
+            )
+            live = sowner < n
+
+            send_meta = (
+                jnp.zeros((n, Csk), jnp.uint32)
+                .at[sowner, pos]
+                .set(jnp.where(live, meta, 0), mode="drop")
+            )
+            recv_meta = jax.lax.all_to_all(
+                send_meta, AXIS, split_axis=0, concat_axis=0
+            ).reshape(n * Csk)
+            packed_flat = packed.reshape(B * PWrow)
+            recv_words = []
+            for t in range(RW):
+                wi = jnp.clip(scol // 16 + t, 0, PWrow - 1)
+                wvals = jnp.take(packed_flat, srow * PWrow + wi)
+                send_w = (
+                    jnp.zeros((n, Csk), jnp.uint32)
+                    .at[sowner, pos]
+                    .set(jnp.where(live, wvals, 0), mode="drop")
+                )
+                recv_words.append(
+                    jax.lax.all_to_all(
+                        send_w, AXIS, split_axis=0, concat_axis=0
+                    ).reshape(n * Csk)
+                )
+            over = over + jnp.sum(
+                live & (pos >= Csk)
+            ).astype(jnp.int32)[None]
+
+            # owner side: reconstruct code rows and extract
+            R = n * Csk
+            words_rx = jnp.stack(recv_words, axis=1)  # (R, RW)
+            off_rx = (recv_meta & 15).astype(jnp.int32)
+            span_rx = ((recv_meta >> 4) & 127).astype(jnp.int32)
+            bank_rx = (recv_meta >> 11).astype(jnp.uint32)
+            codes_rx = unpack_records_to_rows(words_rx, off_rx, SKL)
+            jpos = jnp.arange(SKL, dtype=jnp.int32)[None, :]
+            codes_rx = jnp.where(
+                jpos < (span_rx[:, None] + (k - 1)), codes_rx, jnp.uint8(0xFF)
+            )
+            planes, valid = extract_canonical_planes_jnp(codes_rx, k)
+            flat = planes.reshape(W, R * max_span)
+            weights = valid.reshape(R * max_span).astype(jnp.int32)
+            if per_bank:
+                bank_row = jnp.repeat(bank_rx, max_span)
+                bank_row = jnp.where(weights > 0, bank_row, SENTINEL)
+                flat = jnp.concatenate([flat, bank_row[None, :]], axis=0)
+            flat, weights = maybe_pass_filter(flat, weights, pass_sel)
+
+            off = slot * plan.recv_per_batch
+            buf_p = jax.lax.dynamic_update_slice(buf_p, flat, (0, off))
+            buf_c = jax.lax.dynamic_update_slice(buf_c, weights, (off,))
+            return buf_p, buf_c, over
+
         def flush_shard(buf_p, buf_c, tab_p, tab_c, tover):
             """Per-chip: merge buffer + running table -> new table."""
             planes = tuple(
@@ -316,30 +460,61 @@ class DistCountEngine:
         # annotation; all our shardings are explicit in in/out_specs
         shmap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
 
-        step = fill_shard if n == 1 else route_shard
-        self._route = jax.jit(
+        if n == 1:
+            route_body = fill_shard
+        elif self.routing == "superkmer":
+            route_body = route_shard_sk
+        else:
+            route_body = route_shard
+        G = plan.buf_batches
+
+        def step_group_shard(batches, bids, tab_p, tab_c, over, tover,
+                             pass_sel):
+            """ONE dispatch per flush group: lax.scan of G route steps
+            into a program-local buffer, then the flush merge.  The axon
+            tunnel charges ~6.5 ms per dispatch (measured round 2), so at
+            one dispatch per BATCH the pipeline was dispatch-bound; the
+            fused group program pays it once per ~G x m windows.
+
+            batches: (G, rows_per_chip, L) uint8; bids: (G, rows_per_chip).
+            """
+            buf_p0 = jnp.full((WK, plan.buf_cap), SENTINEL)
+            buf_c0 = jnp.zeros((plan.buf_cap,), jnp.int32)
+
+            def body(carry, xs):
+                bp, bc, ov = carry
+                batch, bid, slot = xs
+                bp, bc, ov = route_body(
+                    batch, bid, bp, bc, ov, slot, pass_sel
+                )
+                return (bp, bc, ov), None
+
+            (buf_p, buf_c, over), _ = jax.lax.scan(
+                body,
+                (buf_p0, buf_c0, over),
+                (batches, bids, jnp.arange(G, dtype=jnp.int32)),
+            )
+            _, _, tab_p, tab_c, tover = flush_shard(
+                buf_p, buf_c, tab_p, tab_c, tover
+            )
+            return tab_p, tab_c, over, tover
+
+        self._step = jax.jit(
             shmap(
-                step,
-                in_specs=(pb, pb, pp, pb, pb, pr, pr),
-                out_specs=(pp, pb, pb),
+                step_group_shard,
+                in_specs=(P(None, AXIS, None), P(None, AXIS), pp, pb, pb,
+                          pb, pr),
+                out_specs=(pp, pb, pb, pb),
             ),
-            donate_argnums=(2, 3, 4),
-        )
-        self._flush = jax.jit(
-            shmap(
-                flush_shard,
-                in_specs=(pp, pb, pp, pb, pb),
-                out_specs=(pp, pb, pp, pb, pb),
-            ),
-            donate_argnums=(0, 1, 2, 3, 4),
+            donate_argnums=(2, 3, 4, 5),
         )
         self._hist = jax.jit(
             shmap(hist_shard, in_specs=(pb,), out_specs=pr)
         )
 
     def compile(self, progress=None) -> "DistCountEngine":
-        """Ahead-of-time compile the three pass programs (route, flush,
-        hist) and swap the jit wrappers for the compiled executables.
+        """Ahead-of-time compile the pass programs (step, hist) and swap
+        the jit wrappers for the compiled executables.
 
         jax's jit dispatch cache is not populated by .lower().compile(),
         so the compiled objects replace the wrappers directly.  Compile
@@ -350,17 +525,15 @@ class DistCountEngine:
 
         plan, WK = self.plan, self.WK
         rows = self.rows_per_chip * plan.n
-        b = jax.ShapeDtypeStruct((rows, self.row_len), _jnp.uint8)
-        bi = jax.ShapeDtypeStruct((rows,), _jnp.int32)
-        bp = jax.ShapeDtypeStruct((WK, plan.n * plan.buf_cap), _jnp.uint32)
-        bc = jax.ShapeDtypeStruct((plan.n * plan.buf_cap,), _jnp.int32)
+        G = plan.buf_batches
+        bg = jax.ShapeDtypeStruct((G, rows, self.row_len), _jnp.uint8)
+        bi = jax.ShapeDtypeStruct((G, rows), _jnp.int32)
         tp = jax.ShapeDtypeStruct((WK, plan.n * plan.table_cap), _jnp.uint32)
         tc = jax.ShapeDtypeStruct((plan.n * plan.table_cap,), _jnp.int32)
         ov = jax.ShapeDtypeStruct((plan.n,), _jnp.int32)
         sc = jax.ShapeDtypeStruct((), _jnp.int32)
         for name, fn, args in (
-            ("route", "_route", (b, bi, bp, bc, ov, sc, sc)),
-            ("flush", "_flush", (bp, bc, tp, tc, ov)),
+            ("step", "_step", (bg, bi, tp, tc, ov, ov, sc)),
             ("hist", "_hist", (tc,)),
         ):
             t0 = __import__("time").perf_counter()
@@ -393,13 +566,11 @@ class DistCountEngine:
             def full(shape, sharding, value, dtype):
                 return jax.device_put(jnp.full(shape, value, dtype), sharding)
 
-        buf_p = full((W, plan.n * plan.buf_cap), sh_p, SENTINEL, np.uint32)
-        buf_c = full((plan.n * plan.buf_cap,), sh_b, 0, np.int32)
         tab_p = full((W, plan.n * plan.table_cap), sh_p, SENTINEL, np.uint32)
         tab_c = full((plan.n * plan.table_cap,), sh_b, 0, np.int32)
         over = full((plan.n,), sh_b, 0, np.int32)
         tover = full((plan.n,), sh_b, 0, np.int32)
-        return buf_p, buf_c, tab_p, tab_c, over, tover
+        return tab_p, tab_c, over, tover
 
     # -- driver ----------------------------------------------------------
 
@@ -488,13 +659,14 @@ class DistCountEngine:
         PCIe)."""
         k, W, plan = self.k, self.W, self.plan
 
-        buf_p, buf_c, tab_p, tab_c, over, tover = self._init_state()
-        batch_sharding = NamedSharding(self.mesh, P(AXIS))
+        tab_p, tab_c, over, tover = self._init_state()
+        group_sharding = NamedSharding(self.mesh, P(None, AXIS, None))
+        bid_sharding = NamedSharding(self.mesh, P(None, AXIS))
         single = plan.n == 1
         device0 = self.mesh.devices.flat[0]
-        slot = 0
         n_bases = 0
         n_reads = 0
+        G = plan.buf_batches
 
         if self.multi_process:
             # SPMD contract: every process must dispatch the same number of
@@ -511,67 +683,86 @@ class DistCountEngine:
                     0,
                 )
 
-            batches = lockstep_batches(batches, make_empty)
+            batches = lockstep_batches(batches, make_empty, group=G)
+
+        local_rows = (
+            self.local_batch_rows if self.multi_process else self.batch_rows
+        )
+
+        def groups(src):
+            """Stack G batches into one (G, rows, L) group (tail padded)."""
+            from dsk_tpu.io.batch import PAD
+
+            cur_c, cur_b, bb, rr, cnt = [], [], 0, 0, 0
+            for batch in src:
+                cur_c.append(np.ascontiguousarray(batch.codes, np.uint8))
+                cur_b.append(
+                    np.ascontiguousarray(batch.bank_ids, np.int32)
+                )
+                bb += batch.n_bases
+                rr += batch.n_reads
+                cnt += 1
+                if cnt == G:
+                    yield np.stack(cur_c), np.stack(cur_b), bb, rr, cnt
+                    cur_c, cur_b, bb, rr, cnt = [], [], 0, 0, 0
+            if cnt:
+                pad_c = np.full(
+                    (local_rows, self.row_len), PAD, np.uint8
+                )
+                pad_b = np.zeros(local_rows, np.int32)
+                while cnt < G:
+                    cur_c.append(pad_c)
+                    cur_b.append(pad_b)
+                    cnt += 1
+                yield np.stack(cur_c), np.stack(cur_b), bb, rr, cnt
 
         # host->device transfers happen on a background thread so they
         # overlap device compute (double-buffered; P5 pipeline overlap)
         from dsk_tpu.io.prefetch import prefetch
 
-        def put(batch):
-            codes = np.ascontiguousarray(batch.codes, np.uint8)
-            bids = np.ascontiguousarray(batch.bank_ids, np.int32)
+        def put(group):
+            codes, bids, bb, rr, cnt = group
             if self.multi_process:
-                # this host's rows feed its own chips; the global batch is
+                # this host's rows feed its own chips; the global group is
                 # assembled across processes without replication
                 return (
                     jax.make_array_from_process_local_data(
-                        batch_sharding, codes,
-                        (self.batch_rows, self.row_len),
+                        group_sharding, codes,
+                        (G, self.batch_rows, self.row_len),
                     ),
                     jax.make_array_from_process_local_data(
-                        batch_sharding, bids, (self.batch_rows,)
+                        bid_sharding, bids, (G, self.batch_rows)
                     ),
-                    batch.n_bases,
-                    batch.n_reads,
+                    bb,
+                    rr,
                 )
-            where = device0 if single else batch_sharding
+            where = device0 if single else group_sharding
+            where_b = device0 if single else bid_sharding
             return (
                 jax.device_put(codes, where),
-                jax.device_put(bids, where),
-                batch.n_bases,
-                batch.n_reads,
+                jax.device_put(bids, where_b),
+                bb,
+                rr,
             )
 
-        n_batches = 0
-        n_flushes = 0
-        for batch_dev, bids_dev, bb, rr in prefetch(
-            (put(b) for b in batches), depth=3
+        n_groups = 0
+        for codes_dev, bids_dev, bb, rr in prefetch(
+            (put(g) for g in groups(batches)), depth=3
         ):
-            buf_p, buf_c, over = self._route(
-                batch_dev, bids_dev, buf_p, buf_c, over,
-                jnp.int32(slot), jnp.int32(pass_id),
+            tab_p, tab_c, over, tover = self._step(
+                codes_dev, bids_dev, tab_p, tab_c, over, tover,
+                jnp.int32(pass_id),
             )
             n_bases += bb
             n_reads += rr
-            n_batches += 1
-            if progress_cb is not None and n_batches % 64 == 0:
-                progress_cb(n_batches, n_bases, n_reads)
-            slot += 1
-            if slot == plan.buf_batches:
-                buf_p, buf_c, tab_p, tab_c, tover = self._flush(
-                    buf_p, buf_c, tab_p, tab_c, tover
-                )
-                slot = 0
-                n_flushes += 1
-                # fail fast every few flushes: an overflowing long run must
-                # not stream to completion before erroring (each check is a
-                # host sync, so amortize it)
-                if n_flushes % 8 == 0:
-                    self._check_overflow(over, tover)
-        if slot:
-            buf_p, buf_c, tab_p, tab_c, tover = self._flush(
-                buf_p, buf_c, tab_p, tab_c, tover
-            )
+            n_groups += 1
+            if progress_cb is not None and n_groups % 8 == 0:
+                progress_cb(n_groups * G, n_bases, n_reads)
+            # fail fast every few groups: an overflowing long run must not
+            # stream to completion before erroring (each check is a host
+            # sync, so amortize it)
+            if n_groups % 8 == 0:
+                self._check_overflow(over, tover)
         self._check_overflow(over, tover)
 
         info = {

@@ -187,6 +187,96 @@ def build_repartition(
     return table
 
 
+def pack_rows_2bit(batch: jax.Array) -> jax.Array:
+    """(B, L) uint8 codes -> (B, ceil(L/16)) uint32, 2-bit packed, base at
+    position 16*w most significant within word w; invalid bases pack as 0
+    (validity is carried separately by the segmentation masks)."""
+    B, L = batch.shape
+    c32 = jnp.where(batch <= 3, batch.astype(jnp.uint32), 0)
+    pad = (-L) % 16
+    if pad:
+        c32 = jnp.concatenate([c32, jnp.zeros((B, pad), jnp.uint32)], axis=1)
+    c32 = c32.reshape(B, -1, 16)
+    word = jnp.zeros(c32.shape[:2], jnp.uint32)
+    for j in range(16):
+        word = word | (c32[:, :, j] << (2 * (15 - j)))
+    return word
+
+
+def superkmer_records(
+    batch: jax.Array,
+    k: int,
+    m: int,
+    max_span: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Build fixed-shape superkmer records for routing (SURVEY.md C6 /
+    the reference's KMC3-style superkmer rework, CHANGELOG.md:13).
+
+    A superkmer = a maximal run of <= max_span consecutive windows sharing
+    a minimizer (longer runs split; correctness unaffected).  Every
+    occurrence of a canonical kmer has the same (strand-symmetric)
+    minimizer, so minimizer routing sends all copies to one owner.
+
+    Returns per-WINDOW-position arrays (B, nw):
+      minimizers  uint32 (sentinel on non-heads / invalid)
+      is_head     bool
+      span        int32 windows in this record (at heads)
+    plus the packed row words (B, ceil(L/16)) uint32 and nw (static).
+
+    The record for a head at (row b, window w) covers bases
+    [w, w + span + k - 1) of row b; consumers slice the packed words
+    w//16 .. (w + span + k - 1 + 15)//16 with bit offset 2*(w % 16).
+    """
+    B, L = batch.shape
+    nw = L - k + 1
+    mins, valid = window_minimizers(batch, k, m)
+    is_head, head_len = superkmer_segments(mins, valid)
+    # split runs longer than max_span: a window starts a record iff it is
+    # a run head OR its distance from the run head is a multiple of
+    # max_span
+    idx = jnp.broadcast_to(jnp.arange(nw, dtype=jnp.int32)[None, :], (B, nw))
+    head_pos = jax.lax.cummax(jnp.where(is_head, idx, 0), axis=1)
+    off_in_run = idx - head_pos
+    is_rec = valid & (is_head | ((off_in_run % max_span) == 0))
+    # span of each record: min(max_span, run_end - this + 1)
+    prev_same = jnp.zeros((B, nw), jnp.bool_)
+    prev_same = prev_same.at[:, 1:].set(
+        valid[:, 1:] & valid[:, :-1] & (mins[:, 1:] == mins[:, :-1])
+    )
+    is_end = jnp.ones((B, nw), jnp.bool_)
+    is_end = is_end.at[:, :-1].set(~prev_same[:, 1:])
+    is_end = is_end & valid
+    INT_MAX = jnp.int32(2**31 - 1)
+    end_pos = jax.lax.cummin(
+        jnp.where(is_end, idx, INT_MAX), axis=1, reverse=True
+    )
+    span = jnp.where(
+        is_rec, jnp.minimum(end_pos - idx + 1, max_span), 0
+    ).astype(jnp.int32)
+    packed = pack_rows_2bit(batch)
+    rec_mins = jnp.where(is_rec, mins, MINIMIZER_SENTINEL)
+    return rec_mins, is_rec, span, packed, mins
+
+
+def unpack_records_to_rows(
+    words: jax.Array, bit_off: jax.Array, n_bases: int
+) -> jax.Array:
+    """(R, PW) packed uint32 + (R,) base offset in [0, 16) ->
+    (R, n_bases) uint8 codes (tail beyond a record's span is garbage;
+    callers mask by span).  Vectorized shift-and-extract."""
+    R, PW = words.shape
+    # base j of record r lives in word (off + j) // 16 at bit
+    # 2*(15 - (off + j) % 16)
+    j = jnp.arange(n_bases, dtype=jnp.int32)[None, :]
+    pos = bit_off[:, None] + j                # (R, n_bases)
+    wi = pos // 16
+    bi = 2 * (15 - (pos % 16))
+    w = jnp.take_along_axis(
+        words, jnp.clip(wi, 0, PW - 1), axis=1
+    )
+    return ((w >> bi) & 3).astype(jnp.uint8)
+
+
 def superkmer_segments(
     minimizers: jax.Array, valid: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
