@@ -59,17 +59,19 @@ def main() -> None:
     from dsk_tpu.dist.engine import DistCountEngine, default_mesh
 
     k = 31
-    rows, row_len = 512, 1024
-    n_batches = 72
+    rows, row_len = 2048, 1024
+    n_batches = 32  # 8 groups of 4: ~65 Mbases
 
-    # the static-shape engine: all executables compile once during warmup
-    # (route / flush / hist shapes never change thereafter)
+    # the static-shape engine: ONE fused step program per flush group
+    # (lax.scan of buf_batches route steps + the flush merge) — the axon
+    # tunnel charges ~6.5 ms per dispatch, so big batches + fused groups
+    # keep the pipeline compute-bound (profile_engine2.py, round 2)
     engine = DistCountEngine(
         k,
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=16,  # buffer ~4x table: flush re-sort amortized
+        buf_batches=4,  # buffer ~4x table: flush re-sort amortized
         table_cap=1 << 21,
     )
     import sys

@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                      default=0, choices=[0, 1],
                      help="1: compute a minimizer repartition table "
                           "(stored in run info)")
+    opt.add_argument("-send-slack", dest="send_slack", type=float,
+                     default=2.5,
+                     help="all_to_all per-destination capacity headroom "
+                          "(auto-doubled on routing overflow)")
+    opt.add_argument("-max-retries", dest="max_retries", type=int, default=3,
+                     help="auto re-plan attempts on capacity overflow")
     opt.add_argument("-verbose", type=int, default=1, help="verbosity level")
     opt.add_argument("-engine", default="auto",
                      choices=["auto", "simple", "dist"],
@@ -111,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
         minimizer_size=args.minimizer_size,
         minimizer_type=args.minimizer_type,
         repartition_type=args.repartition_type,
+        send_slack=args.send_slack,
+        max_retries=args.max_retries,
     )
     try:
         execute(params)

@@ -22,9 +22,11 @@ most significant), so every lax.sort operand is contiguous — no strided
 (N, W) slicing on the hot path.  Extraction uses the Pallas kernel on TPU
 (dsk_tpu.kmer.pallas_kernels), the jnp sweep elsewhere.
 
-On a single chip the routing collapses to a raw append (no dedup, no
-scatter, no all_to_all): each record is touched by exactly ONE amortized
-sort in the periodic flush — the fastest possible sort-based counting.
+On a single chip the routing collapses to extract + bucketize (no
+all_to_all).  Appended rows are partitioned into S hash buckets so the
+flush is a BATCHED sort over VMEM-sized bucket rows (~2.6x faster per
+row than one flat lax.sort, measured v5e) — the per-partition sort of
+the reference, re-expressed for the sort-centric TPU.
 
 Everything is static-shaped: the per-destination send capacity is fixed
 (mean + slack), overflow is *counted* on device and checked on host at
@@ -34,7 +36,9 @@ n_iters semantics, doc/paper.tex:66).  The flush schedule is static
 XLA executables with no host round-trips in the loop.
 
 Output tables are partitioned by owner chip — partition p of the output
-store is chip p's table, sorted ascending (the analog of dsk/solid/<i>).
+store is chip p's table in (hash-bucket, kmer) order (the analog of
+dsk/solid/<i>; dump order is partition order like the reference, and
+`dsk2ascii -sorted` gives the normative A<C<T<G-sorted dump).
 """
 
 from __future__ import annotations
@@ -57,6 +61,7 @@ from dsk_tpu.kmer.device import (
     kmer_hash_planes,
     pass_hash_planes,
     sum_by_key_planes,
+    sum_by_key_planes_2d,
 )
 from dsk_tpu.kmer.pallas_kernels import (
     extract_canonical_planes_jnp,
@@ -94,8 +99,10 @@ class _Plan:
     send_cap: int         # per-destination bucket capacity C (n > 1)
     recv_per_batch: int   # appended rows per batch: n*C (n>1) or m (n==1)
     buf_batches: int
-    buf_cap: int          # buf_batches * recv_per_batch
-    table_cap: int
+    buf_cap: int          # total buffer slots per chip: S * G * bucket_cols
+    table_cap: int        # per chip (multiple of S)
+    S: int = 1            # key-space buckets per chip (batched flush sorts)
+    bucket_cols: int = 0  # buffer columns per (bucket, batch slot)
 
 
 class DistCountEngine:
@@ -166,6 +173,19 @@ class DistCountEngine:
             send_cap = int(np.ceil(m / self.n * send_slack))
             send_cap = min(max(send_cap, 64), m)
             recv = self.n * send_cap
+        # key-space buckets: the flush sorts (S, R) batched rows that fit
+        # VMEM (~2.6x faster per row than one flat lax.sort, measured on
+        # v5e round 2) — the analog of DSK's per-partition sort.  Keep
+        # >= 256 table slots per bucket so Poisson imbalance stays small.
+        S = 1
+        if table_cap >= 2048:
+            S = min(128, table_cap // 256)
+            S = 1 << (S.bit_length() - 1)
+        table_cap = -(-table_cap // S) * S
+        # bucket headroom scales with send_slack so the overflow retry
+        # valve (run.py doubles send_slack) also widens buckets
+        self.bucket_slack = 1.35 * max(send_slack / 2.5, 1.0)
+        bucket_cols = int(np.ceil(recv * self.bucket_slack / S))
         self.plan = _Plan(
             n=self.n,
             rows_per_chip=self.rows_per_chip,
@@ -174,8 +194,10 @@ class DistCountEngine:
             send_cap=send_cap,
             recv_per_batch=recv,
             buf_batches=buf_batches,
-            buf_cap=buf_batches * recv,
+            buf_cap=S * buf_batches * bucket_cols,
             table_cap=table_cap,
+            S=S,
+            bucket_cols=bucket_cols,
         )
         self.nb_bins = nb_bins
         # multi-process mesh: this host feeds rows only for its own chips
@@ -238,14 +260,78 @@ class DistCountEngine:
             flat = jnp.where(keep[None, :], flat, SENTINEL)
             return flat, jnp.where(keep, weights, 0)
 
+        S = plan.S
+        C = plan.bucket_cols
+        logS = int(np.log2(S)) if S > 1 else 0
+
+        def bucketize_append(flat, weights, buf_p, buf_c, over, slot):
+            """Partition (WK, X) rows into S hash buckets and append each
+            bucket's segment at batch slot `slot` of the (WK, S, G*C)
+            buffer.  One cheap 1-key sort groups rows by bucket; S
+            unrolled dynamic slices move the segments (scatter is ~6x
+            slower on TPU).  Rows beyond a bucket's capacity C are
+            counted into `over` (RoutingOverflow -> retry with more
+            slack).  Bucketized buffers make the flush a BATCHED sort
+            over VMEM-sized rows (sum_by_key_planes_2d)."""
+            X = flat.shape[1]
+            h = kmer_hash_planes(tuple(flat[:W]))
+            if logS > 0:
+                bk = (h >> jnp.uint32(32 - logS)).astype(jnp.uint32)
+            else:
+                bk = jnp.zeros((X,), jnp.uint32)
+            bkey = jnp.where(weights > 0, bk, jnp.uint32(S))
+            s = jax.lax.sort(
+                (bkey,) + tuple(flat) + (weights,), num_keys=1
+            )
+            sb, sp, sw = s[0], s[1 : 1 + WK], s[1 + WK]
+            starts = jnp.searchsorted(
+                sb, jnp.arange(S + 1, dtype=jnp.uint32)
+            ).astype(jnp.int32)
+            lens = starts[1:] - starts[:-1]
+            over = over + jnp.sum(
+                jnp.maximum(lens - C, 0)
+            ).astype(jnp.int32)[None]
+            pads = jnp.full((C,), SENTINEL)
+            padw = jnp.zeros((C,), jnp.int32)
+            spp = [jnp.concatenate([sp[w], pads]) for w in range(WK)]
+            swp = jnp.concatenate([sw, padw])
+            jj = jnp.arange(C, dtype=jnp.int32)
+            rows_w = []
+            rows_p = []
+            for b in range(S):
+                st = starts[b]
+                mask = jj < lens[b]
+                rows_w.append(
+                    jnp.where(
+                        mask, jax.lax.dynamic_slice(swp, (st,), (C,)), 0
+                    )
+                )
+                rows_p.append(
+                    [
+                        jnp.where(
+                            mask,
+                            jax.lax.dynamic_slice(spp[w], (st,), (C,)),
+                            SENTINEL,
+                        )
+                        for w in range(WK)
+                    ]
+                )
+            block_c = jnp.stack(rows_w)                      # (S, C)
+            block_p = jnp.moveaxis(
+                jnp.stack([jnp.stack(r) for r in rows_p]), 1, 0
+            )                                                # (WK, S, C)
+            off = slot * C
+            buf_p = jax.lax.dynamic_update_slice(
+                buf_p, block_p, (0, 0, off)
+            )
+            buf_c = jax.lax.dynamic_update_slice(buf_c, block_c, (0, off))
+            return buf_p, buf_c, over
+
         def fill_shard(batch, bids, buf_p, buf_c, over, slot, pass_sel):
-            """Single-chip fast path: extract + raw append (no routing)."""
+            """Single-chip fast path: extract + bucketize (no routing)."""
             flat, weights = extract_flat(batch, bids)
             flat, weights = maybe_pass_filter(flat, weights, pass_sel)
-            off = slot * plan.recv_per_batch
-            buf_p = jax.lax.dynamic_update_slice(buf_p, flat, (0, off))
-            buf_c = jax.lax.dynamic_update_slice(buf_c, weights, (off,))
-            return buf_p, buf_c, over
+            return bucketize_append(flat, weights, buf_p, buf_c, over, slot)
 
         def route_shard(batch, bids, buf_p, buf_c, over, slot, pass_sel):
             """Multi-chip: extract + local dedup + hash-route + append.
@@ -279,10 +365,10 @@ class DistCountEngine:
             group_start = jax.lax.cummax(jnp.where(is_new, idx, 0), axis=0)
             pos = idx - group_start
 
-            C = plan.send_cap
-            # scatter into (n, C) send buckets; OOB (owner==n, pos>=C) drop
+            Cr = plan.send_cap
+            # scatter into (n, Cr) send buckets; OOB (owner==n, pos>=Cr) drop
             send_c = (
-                jnp.zeros((n, C), jnp.int32)
+                jnp.zeros((n, Cr), jnp.int32)
                 .at[sowner, pos]
                 .set(scounts, mode="drop")
             )
@@ -290,7 +376,7 @@ class DistCountEngine:
             recv_p = []
             for w in range(WK):
                 send_w = (
-                    jnp.full((n, C), SENTINEL)
+                    jnp.full((n, Cr), SENTINEL)
                     .at[sowner, pos]
                     .set(skey[w], mode="drop")
                 )
@@ -300,17 +386,14 @@ class DistCountEngine:
                     ).reshape(plan.recv_per_batch)
                 )
             over = over + jnp.sum(
-                (scounts > 0) & (sowner < n) & (pos >= C)
+                (scounts > 0) & (sowner < n) & (pos >= Cr)
             ).astype(jnp.int32)[None]
 
-            off = slot * plan.recv_per_batch
-            buf_p = jax.lax.dynamic_update_slice(
-                buf_p, jnp.stack(recv_p, axis=0), (0, off)
+            return bucketize_append(
+                jnp.stack(recv_p, axis=0),
+                recv_c.reshape(plan.recv_per_batch),
+                buf_p, buf_c, over, slot,
             )
-            buf_c = jax.lax.dynamic_update_slice(
-                buf_c, recv_c.reshape(plan.recv_per_batch), (off,)
-            )
-            return buf_p, buf_c, over
 
         # superkmer routing constants (routing == "superkmer")
         mlen = self.minimizer_size
@@ -425,24 +508,29 @@ class DistCountEngine:
                 bank_row = jnp.where(weights > 0, bank_row, SENTINEL)
                 flat = jnp.concatenate([flat, bank_row[None, :]], axis=0)
             flat, weights = maybe_pass_filter(flat, weights, pass_sel)
-
-            off = slot * plan.recv_per_batch
-            buf_p = jax.lax.dynamic_update_slice(buf_p, flat, (0, off))
-            buf_c = jax.lax.dynamic_update_slice(buf_c, weights, (off,))
-            return buf_p, buf_c, over
+            return bucketize_append(flat, weights, buf_p, buf_c, over, slot)
 
         def flush_shard(buf_p, buf_c, tab_p, tab_c, tover):
-            """Per-chip: merge buffer + running table -> new table."""
+            """Per-chip merge: (WK, S, G*C) bucketized buffer + (S, capb)
+            bucketized table -> new table, via one BATCHED sum_by_key over
+            the S independent key-space buckets (each bucket row is
+            VMEM-sized — the per-partition sort of the reference, C4)."""
+            capb = plan.table_cap // S
+            tp3 = tab_p.reshape(WK, S, capb)
+            tc2 = tab_c.reshape(S, capb)
             planes = tuple(
-                jnp.concatenate([buf_p[w], tab_p[w]]) for w in range(WK)
+                jnp.concatenate([buf_p[w], tp3[w]], axis=1)
+                for w in range(WK)
             )
-            weights = jnp.concatenate([buf_c, tab_c])
-            uniq, counts, n_uniq = sum_by_key_planes(planes, weights)
-            tover = tover + (n_uniq > plan.table_cap).astype(jnp.int32)[None]
-            new_p = jnp.stack([u[: plan.table_cap] for u in uniq], axis=0)
-            new_c = counts[: plan.table_cap]
-            buf_p = jnp.full((WK, plan.buf_cap), SENTINEL)
-            buf_c = jnp.zeros((plan.buf_cap,), jnp.int32)
+            weights = jnp.concatenate([buf_c, tc2], axis=1)
+            uniq, counts, n_uniq = sum_by_key_planes_2d(planes, weights)
+            tover = tover + jnp.sum(
+                (n_uniq > capb).astype(jnp.int32)
+            )[None]
+            new_p = jnp.stack(
+                [u[:, :capb] for u in uniq], axis=0
+            ).reshape(WK, plan.table_cap)
+            new_c = counts[:, :capb].reshape(plan.table_cap)
             return buf_p, buf_c, new_p, new_c, tover
 
         def hist_shard(tab_c):
@@ -478,8 +566,10 @@ class DistCountEngine:
 
             batches: (G, rows_per_chip, L) uint8; bids: (G, rows_per_chip).
             """
-            buf_p0 = jnp.full((WK, plan.buf_cap), SENTINEL)
-            buf_c0 = jnp.zeros((plan.buf_cap,), jnp.int32)
+            buf_p0 = jnp.full(
+                (WK, S, plan.buf_batches * C), SENTINEL
+            )
+            buf_c0 = jnp.zeros((S, plan.buf_batches * C), jnp.int32)
 
             def body(carry, xs):
                 bp, bc, ov = carry
@@ -512,15 +602,63 @@ class DistCountEngine:
             shmap(hist_shard, in_specs=(pb,), out_specs=pr)
         )
 
-    def compile(self, progress=None) -> "DistCountEngine":
+    def _aot_cache_key(self, name: str) -> str:
+        """Key for the cross-process AOT executable cache: everything
+        that shapes the compiled program."""
+        import hashlib
+        import json
+
+        import jaxlib
+
+        cfg = {
+            "name": name,
+            "jax": jax.__version__,
+            "jaxlib": getattr(jaxlib, "__version__", "?"),
+            "device": self.mesh.devices.flat[0].device_kind,
+            "n": self.n,
+            "k": self.k,
+            "WK": self.WK,
+            "plan": [
+                self.plan.rows_per_chip, self.plan.nw, self.plan.send_cap,
+                self.plan.buf_batches, self.plan.buf_cap,
+                self.plan.table_cap,
+            ],
+            "row_len": self.row_len,
+            "n_passes": self.n_passes,
+            "per_bank": self.per_bank,
+            "routing": self.routing,
+            "mlen": self.minimizer_size,
+            "max_span": self.max_span,
+            "repart": (
+                None if self.repartition is None
+                else hashlib.sha256(
+                    np.ascontiguousarray(self.repartition)
+                ).hexdigest()[:16]
+            ),
+            "pallas": self.use_pallas,
+            "nb_bins": self.nb_bins,
+        }
+        return hashlib.sha256(
+            json.dumps(cfg, sort_keys=True).encode()
+        ).hexdigest()[:32]
+
+    def compile(self, progress=None, cache_dir: str | None = None
+                ) -> "DistCountEngine":
         """Ahead-of-time compile the pass programs (step, hist) and swap
         the jit wrappers for the compiled executables.
 
         jax's jit dispatch cache is not populated by .lower().compile(),
         so the compiled objects replace the wrappers directly.  Compile
         times for the big sort programs run to minutes via the remote
-        TPU compile service; doing it explicitly (and once) keeps the
-        streaming loop free of compile stalls."""
+        TPU compile service and the jax persistent cache does NOT cover
+        them, so compiled executables are serialized to a cross-process
+        cache (jax.experimental.serialize_executable) keyed by the full
+        program shape — a warm CLI start skips the multi-minute compile.
+        Set DSK_TPU_AOT_CACHE=0 to disable."""
+        import os
+        import pickle
+        import time as _time
+
         import jax.numpy as _jnp
 
         plan, WK = self.plan, self.WK
@@ -532,17 +670,70 @@ class DistCountEngine:
         tc = jax.ShapeDtypeStruct((plan.n * plan.table_cap,), _jnp.int32)
         ov = jax.ShapeDtypeStruct((plan.n,), _jnp.int32)
         sc = jax.ShapeDtypeStruct((), _jnp.int32)
+
+        env = os.environ.get("DSK_TPU_AOT_CACHE", "")
+        if env == "0":
+            cdir = None
+        else:
+            cdir = cache_dir or env or os.path.join(
+                os.path.expanduser("~"), ".cache", "dsk_tpu", "aot"
+            )
+        if cdir and not self.multi_process:
+            os.makedirs(cdir, exist_ok=True)
+        else:
+            cdir = None  # multi-process executables are per-topology
+
         for name, fn, args in (
             ("step", "_step", (bg, bi, tp, tc, ov, ov, sc)),
             ("hist", "_hist", (tc,)),
         ):
-            t0 = __import__("time").perf_counter()
-            setattr(self, fn, getattr(self, fn).lower(*args).compile())
-            if progress:
-                progress(
-                    f"compiled {name} in "
-                    f"{__import__('time').perf_counter() - t0:.1f}s"
-                )
+            t0 = _time.perf_counter()
+            path = (
+                os.path.join(cdir, f"{self._aot_cache_key(name)}.aotx")
+                if cdir else None
+            )
+            loaded = False
+            if path and os.path.exists(path):
+                try:
+                    from jax.experimental.serialize_executable import (
+                        deserialize_and_load,
+                    )
+
+                    with open(path, "rb") as f:
+                        payload, in_tree, out_tree = pickle.load(f)
+                    setattr(
+                        self, fn,
+                        deserialize_and_load(payload, in_tree, out_tree),
+                    )
+                    loaded = True
+                    if progress:
+                        progress(
+                            f"loaded {name} from AOT cache in "
+                            f"{_time.perf_counter() - t0:.1f}s"
+                        )
+                except Exception:
+                    loaded = False
+            if not loaded:
+                compiled = getattr(self, fn).lower(*args).compile()
+                setattr(self, fn, compiled)
+                if path:
+                    try:
+                        from jax.experimental.serialize_executable import (
+                            serialize,
+                        )
+
+                        payload, in_tree, out_tree = serialize(compiled)
+                        tmp = path + f".tmp{os.getpid()}"
+                        with open(tmp, "wb") as f:
+                            pickle.dump((payload, in_tree, out_tree), f)
+                        os.replace(tmp, path)
+                    except Exception:
+                        pass  # backend without serialization support
+                if progress:
+                    progress(
+                        f"compiled {name} in "
+                        f"{_time.perf_counter() - t0:.1f}s"
+                    )
         return self
 
     def _init_state(self):
@@ -872,8 +1063,8 @@ class DistCountEngine:
         tp, tc = _live_prefix(tab_p, tab_c, W, plan)
         parts_w, parts_c, sizes = [], [], []
         for p in range(plan.n):
-            mask = tc[p] > 0
-            parts_w.append(tp[:, p, :].T[mask])  # (n_live, W)
+            mask = tc[p] > 0                     # (S, m)
+            parts_w.append(tp[:, p][:, mask].T)  # (n_live, W), bucket-major
             parts_c.append(tc[p][mask])
             sizes.append(int(mask.sum()))
         kmers = np.concatenate(parts_w, axis=0)
@@ -893,12 +1084,14 @@ class DistCountEngine:
         for s in tab_p.addressable_shards:
             off = s.index[1].start or 0
             planes_by_chip[off // cap] = np.asarray(s.data)
+        S = self.plan.S
+        capb = cap // S
         parts_w, parts_c, sizes, ids = [], [], [], []
         for p in sorted(counts_by_chip):
-            tc = counts_by_chip[p]
-            tp = planes_by_chip[p]
+            tc = counts_by_chip[p].reshape(S, capb)
+            tp = planes_by_chip[p].reshape(WK, S, capb)
             mask = tc > 0
-            parts_w.append(tp[:, mask].T)  # (n_live, WK)
+            parts_w.append(tp[:, mask].T)  # (n_live, WK), bucket-major
             parts_c.append(tc[mask])
             sizes.append(int(mask.sum()))
             ids.append(p)
@@ -922,8 +1115,10 @@ class DistCountEngine:
         tp, tc = _live_prefix(tab_p, tab_c, WK, plan)
         parts_k, parts_c, parts_b, sizes = [], [], [], []
         for p in range(plan.n):
-            mask = tc[p] > 0
-            rows = tp[:, p, :].T[mask]  # (n_live, WK), sorted by (kmer, bank)
+            mask = tc[p] > 0                # (S, m)
+            # (n_live, WK): bucket-major; within a bucket sorted by
+            # (kmer words..., bank) — equal kmers stay adjacent
+            rows = tp[:, p][:, mask].T
             kk, cc, bb = _group_by_kmer(rows, tc[p][mask], W, nb_banks)
             parts_k.append(kk)
             parts_c.append(cc)
@@ -946,11 +1141,12 @@ def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan):
     (the axon tunnel moves ~9 MB/s; a full 8M-slot table is ~100 MB).
     Returns host arrays shaped (WK, n, max_live) and (n, max_live).
     """
-    n, cap = plan.n, plan.table_cap
+    n, cap, S = plan.n, plan.table_cap, plan.S
+    capb = cap // S
     live = np.asarray(
-        jnp.sum((tab_c > 0).reshape(n, cap), axis=1)
+        jnp.sum((tab_c > 0).reshape(n, S, capb), axis=2)
     )
     m = max(int(live.max()) if live.size else 0, 1)
-    tp = np.asarray(tab_p.reshape(WK, n, cap)[:, :, :m])
-    tc = np.asarray(tab_c.reshape(n, cap)[:, :m])
+    tp = np.asarray(tab_p.reshape(WK, n, S, capb)[:, :, :, :m])
+    tc = np.asarray(tab_c.reshape(n, S, capb)[:, :, :m])
     return tp, tc

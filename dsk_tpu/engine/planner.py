@@ -92,13 +92,34 @@ def _host_distinct_two_point(
     parts: list[np.ndarray] = []
     sep = np.array([0xFF], dtype=np.uint8)
     seen = 0
-    for _bank_id, seq in bank.iter_sequences():
-        codes = codec.encode_bytes(seq.data)
-        parts.append(codes)
-        parts.append(sep)
-        seen += codes.shape[0]
-        if seen >= limit_bases:
-            break
+    from dsk_tpu.io import native
+
+    if native.available():
+        # the native reader parses ~100x faster than the python path; rows
+        # are (k-1)-halo chunks — windows on halos are seen twice, which
+        # biases the two-point rate by < overlap fraction (irrelevant for
+        # a capacity estimate)
+        from dsk_tpu.io.batch import batch_iterator
+
+        for batch in batch_iterator(bank, max(k, 2), 256, 4096):
+            rows = batch.codes[: batch.n_rows]
+            parts.append(
+                np.concatenate(
+                    [rows, np.full((rows.shape[0], 1), 0xFF, np.uint8)],
+                    axis=1,
+                ).reshape(-1)
+            )
+            seen += int(batch.n_bases)
+            if seen >= limit_bases:
+                break
+    else:
+        for _bank_id, seq in bank.iter_sequences():
+            codes = codec.encode_bytes(seq.data)
+            parts.append(codes)
+            parts.append(sep)
+            seen += codes.shape[0]
+            if seen >= limit_bases:
+                break
     if not parts:
         return 0, 0, 0, 0
     cat = np.concatenate(parts)

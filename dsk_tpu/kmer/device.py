@@ -212,6 +212,62 @@ def sum_by_key_planes(
     return uniq_planes, counts, n_uniq
 
 
+def sum_by_key_planes_2d(
+    planes: tuple[jax.Array, ...], weights: jax.Array
+) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Batched sum_by_key over S independent key-space buckets.
+
+    planes: WK x (S, R) uint32; weights: (S, R) int32.  Each bucket row is
+    grouped/deduped INDEPENDENTLY (callers partition the key space by
+    hash bucket, so equal keys always share a row).  Batched rows that
+    fit VMEM sort ~2.6x faster than one flat lax.sort of the same volume
+    (measured on v5e, round 2) — the TPU analog of DSK's per-partition
+    radix sort (SURVEY.md C4).
+
+    Returns (uniq_planes (S, R) sentinel-padded with live keys compacted
+    to the front of each row, counts (S, R), n_uniq (S,)).
+    """
+    WK = len(planes)
+    S, R = planes[0].shape
+    ops = planes + (weights.astype(jnp.int32),)
+    sorted_ops = jax.lax.sort(ops, num_keys=WK, dimension=-1)
+    skeys = sorted_ops[:WK]
+    sweights = sorted_ops[WK]
+
+    neq = jnp.zeros((S, R - 1), jnp.bool_)
+    for w in range(WK):
+        neq = neq | (skeys[w][:, 1:] != skeys[w][:, :-1])
+    is_new = jnp.concatenate(
+        [jnp.ones((S, 1), jnp.bool_), neq], axis=1
+    )
+    is_end = jnp.concatenate(
+        [neq, jnp.ones((S, 1), jnp.bool_)], axis=1
+    )
+    csum = jnp.cumsum(sweights, axis=1)
+    INT_MAX = jnp.int32(2**31 - 1)
+    end_csum = jax.lax.cummin(
+        jnp.where(is_end, csum, INT_MAX), axis=1, reverse=True
+    )
+    run_total = (end_csum - (csum - sweights)).astype(jnp.int32)
+
+    is_sent = jnp.ones((S, R), jnp.bool_)
+    for w in range(WK):
+        is_sent = is_sent & (skeys[w] == SENTINEL)
+    keep = is_new & ~is_sent
+
+    idx = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (S, R))
+    ckey = jnp.where(keep, idx, R)
+    ops2 = (ckey,) + skeys + (run_total,)
+    sorted2 = jax.lax.sort(ops2, num_keys=1, dimension=-1)
+    live = sorted2[0] < R
+    uniq_planes = tuple(
+        jnp.where(live, sorted2[1 + w], SENTINEL) for w in range(WK)
+    )
+    counts = jnp.where(live, sorted2[1 + WK], 0)
+    n_uniq = jnp.sum(keep.astype(jnp.int32), axis=1)
+    return uniq_planes, counts, n_uniq
+
+
 def count_batch_windows(batch: jax.Array, k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(B, L) code batch -> distinct canonical kmers + abundances (one shot)."""
     words, valid = extract_canonical(batch, k)
