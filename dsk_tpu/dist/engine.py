@@ -130,6 +130,7 @@ class DistCountEngine:
         minimizer_size: int = 10,
         max_span: int = 32,
         repartition: np.ndarray | None = None,
+        flush_buckets: int = 1,
     ):
         """routing: "hash" (per-kmer hash owners, local dedup before the
         all_to_all) or "superkmer" (KMC3-style: consecutive windows
@@ -173,19 +174,25 @@ class DistCountEngine:
             send_cap = int(np.ceil(m / self.n * send_slack))
             send_cap = min(max(send_cap, 64), m)
             recv = self.n * send_cap
-        # key-space buckets: the flush sorts (S, R) batched rows that fit
-        # VMEM (~2.6x faster per row than one flat lax.sort, measured on
-        # v5e round 2) — the analog of DSK's per-partition sort.  Keep
-        # >= 256 table slots per bucket so Poisson imbalance stays small.
+        # key-space buckets (flush_buckets > 1): the flush then sorts
+        # (S, R) batched rows that fit VMEM instead of one flat lax.sort
+        # — DSK's per-partition sort analog.  MEASURED on v5e (round 2):
+        # the per-batch bucketize tax (a 1-key sort of the whole batch +
+        # S*(WK+1) slice ops) outweighs the batched-sort gain at the
+        # default buffer/table ratio (48.7 vs 64.2 Mbases/s), so the
+        # default stays FLAT (S=1); the bucketized path remains available
+        # for ratios/table sizes where it wins.
         S = 1
-        if table_cap >= 2048:
-            S = min(128, table_cap // 256)
+        if flush_buckets > 1 and table_cap >= 2048:
+            S = min(flush_buckets, table_cap // 256)
             S = 1 << (S.bit_length() - 1)
         table_cap = -(-table_cap // S) * S
         # bucket headroom scales with send_slack so the overflow retry
         # valve (run.py doubles send_slack) also widens buckets
         self.bucket_slack = 1.35 * max(send_slack / 2.5, 1.0)
-        bucket_cols = int(np.ceil(recv * self.bucket_slack / S))
+        bucket_cols = (
+            recv if S == 1 else int(np.ceil(recv * self.bucket_slack / S))
+        )
         self.plan = _Plan(
             n=self.n,
             rows_per_chip=self.rows_per_chip,
@@ -274,6 +281,16 @@ class DistCountEngine:
             slack).  Bucketized buffers make the flush a BATCHED sort
             over VMEM-sized rows (sum_by_key_planes_2d)."""
             X = flat.shape[1]
+            if S == 1:
+                # flat fast path: contiguous append, no bucket sort
+                off = slot * C
+                buf_p = jax.lax.dynamic_update_slice(
+                    buf_p, flat[:, None, :], (0, 0, off)
+                )
+                buf_c = jax.lax.dynamic_update_slice(
+                    buf_c, weights[None, :], (0, off)
+                )
+                return buf_p, buf_c, over
             h = kmer_hash_planes(tuple(flat[:W]))
             if logS > 0:
                 bk = (h >> jnp.uint32(32 - logS)).astype(jnp.uint32)

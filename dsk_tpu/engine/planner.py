@@ -154,14 +154,34 @@ def plan_resources(
     k: int,
     max_memory_mb: int = 5000,
     n_chips: int = 1,
-    batch_rows: int = 1024,
-    row_len: int = 256,
+    batch_rows: int = 0,
+    row_len: int = 0,
     sample: bool = True,
 ) -> ResourcePlan:
+    """batch_rows/row_len == 0: auto-size the batch geometry.  Rows are
+    read chunks, so row_len tracks the MEAN READ LENGTH (a fixed 256 for
+    100 bp reads wastes ~60% of window slots as padding); batch_rows then
+    targets ~2M windows per batch on TPU (the axon tunnel costs ~6.5 ms
+    per dispatch — big fused batches keep the pipeline compute-bound)."""
     if isinstance(bank, str):
         bank = open_bank(bank)
     W = codec.words_per_kmer(k)
     est_bases, mean_len = bank.estimate()
+
+    if row_len <= 0:
+        want = int(min(max(mean_len, 1), 1000)) + k
+        row_len = 1 << int(np.ceil(np.log2(max(want, 128))))
+        row_len = int(np.clip(row_len, 128, 1024))
+    if batch_rows <= 0:
+        try:
+            import jax
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        target_windows = (2 << 20) if on_tpu else (1 << 18)
+        nw0 = max(row_len - k + 1, 1)
+        batch_rows = int(np.clip(round(target_windows / nw0), 256, 8192))
     est_windows = max(est_bases - int(est_bases / max(mean_len, k)) * (k - 1), 1)
 
     if sample and est_bases > (1 << 22):

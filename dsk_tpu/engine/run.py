@@ -45,8 +45,8 @@ class RunParams:
     histo2d: bool = False
     nb_cores: int = 0        # 0 = auto (host pipeline workers)
     verbose: int = 1
-    batch_rows: int = 1024
-    row_len: int = 256
+    batch_rows: int = 0  # 0 = auto (planner sizes from read length)
+    row_len: int = 0     # 0 = auto
     resume: bool = False     # reuse <prefix>.ckpt.h5 pass checkpoints
     checkpoint: bool = True  # write per-pass checkpoints on multi-pass runs
     engine: str = "auto"     # auto | simple | dist
@@ -137,8 +137,8 @@ def _select_engine(
             cap = min(cap * max(nb, 2), cap * 8)
         engine = DistCountEngine(
             params.kmer_size,
-            batch_rows=params.batch_rows,
-            row_len=params.row_len,
+            batch_rows=plan.batch_rows,
+            row_len=plan.row_len,
             table_cap=cap,
             buf_batches=plan.buf_batches,
             nb_bins=params.histo_max,
@@ -153,8 +153,8 @@ def _select_engine(
         return engine
     return CountEngine(
         params.kmer_size,
-        batch_rows=params.batch_rows,
-        row_len=params.row_len,
+        batch_rows=plan.batch_rows,
+        row_len=plan.row_len,
         flush_items=plan.flush_items,
         nb_bins=params.histo_max,
     )

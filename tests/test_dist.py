@@ -108,3 +108,25 @@ def test_dist_per_bank_multipass(data_dir):
     ga = {codec.words_to_value(r): tuple(v) for r, v in zip(a.kmers, a.bank_counts)}
     gb = {codec.words_to_value(r): tuple(v) for r, v in zip(b.kmers, b.bank_counts)}
     assert ga == gb
+
+
+def test_bucketized_flush_matches_oracle(data_dir):
+    """flush_buckets > 1: batched per-bucket flush sorts (kept available
+    for buffer/table ratios where they win; measured slower at bench
+    defaults on v5e, see engine docstring)."""
+    from dsk_tpu import oracle
+    from dsk_tpu.kmer import codec
+
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    eng = DistCountEngine(
+        27, batch_rows=256, row_len=128, table_cap=1 << 15,
+        flush_buckets=32,
+    )
+    assert eng.plan.S > 1
+    res = eng.count(uri)
+    want = oracle.count_bank(uri, 27)
+    got = {
+        codec.words_to_value(r): int(c)
+        for r, c in zip(res.kmers, res.counts)
+    }
+    assert got == want
