@@ -532,6 +532,24 @@ class DistCountEngine:
             bucketized table -> new table, via one BATCHED sum_by_key over
             the S independent key-space buckets (each bucket row is
             VMEM-sized — the per-partition sort of the reference, C4)."""
+            if S == 1:
+                # flat path: lax.sort over a (1, R) "batch" hits a much
+                # slower XLA sort variant than the plain 1D sort
+                # (measured 6x on v5e) — keep the 1D kernel
+                planes = tuple(
+                    jnp.concatenate([buf_p[w, 0], tab_p[w]])
+                    for w in range(WK)
+                )
+                weights = jnp.concatenate([buf_c[0], tab_c])
+                uniq, counts, n_uniq = sum_by_key_planes(planes, weights)
+                tover = tover + (
+                    n_uniq > plan.table_cap
+                ).astype(jnp.int32)[None]
+                new_p = jnp.stack(
+                    [u[: plan.table_cap] for u in uniq], axis=0
+                )
+                new_c = counts[: plan.table_cap]
+                return buf_p, buf_c, new_p, new_c, tover
             capb = plan.table_cap // S
             tp3 = tab_p.reshape(WK, S, capb)
             tc2 = tab_c.reshape(S, capb)
@@ -624,10 +642,28 @@ class DistCountEngine:
         that shapes the compiled program."""
         import hashlib
         import json
+        import os as _os
 
         import jaxlib
 
+        # program-source salt: a cached executable must never outlive the
+        # code that built it (shapes alone cannot distinguish versions)
+        src_h = hashlib.sha256()
+        base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        for rel in (
+            "dist/engine.py",
+            "kmer/device.py",
+            "kmer/pallas_kernels.py",
+            "kmer/minimizer.py",
+        ):
+            try:
+                with open(_os.path.join(base, rel), "rb") as f:
+                    src_h.update(f.read())
+            except OSError:
+                pass
+
         cfg = {
+            "src": src_h.hexdigest()[:16],
             "name": name,
             "jax": jax.__version__,
             "jaxlib": getattr(jaxlib, "__version__", "?"),
