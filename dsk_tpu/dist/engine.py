@@ -222,6 +222,7 @@ class DistCountEngine:
         self.use_pallas = (
             self.mesh.devices.flat[0].platform == "tpu"
             and self.row_len >= MIN_PALLAS_ROW_LEN
+            and (self.rows_per_chip % 8 == 0 or self.rows_per_chip < 8)
         )
         self._build()
 

@@ -182,6 +182,7 @@ def plan_resources(
         target_windows = (2 << 20) if on_tpu else (1 << 18)
         nw0 = max(row_len - k + 1, 1)
         batch_rows = int(np.clip(round(target_windows / nw0), 256, 8192))
+        batch_rows = -(-batch_rows // 256) * 256  # Pallas sublane tiling
     est_windows = max(est_bases - int(est_bases / max(mean_len, k)) * (k - 1), 1)
 
     if sample and est_bases > (1 << 22):

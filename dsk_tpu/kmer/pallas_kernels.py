@@ -129,6 +129,12 @@ def extract_canonical_planes_tpu(
     max_rows = max(8, (6 << 20) // max(per_row, 1))
     while TB > max_rows or (B % TB != 0 and TB > 1):
         TB //= 2
+    # Mosaic requires the sublane block dim to be a multiple of 8 (or the
+    # whole array); odd batch_rows would land here with TB=2 and fail
+    if TB != B and TB % 8 != 0:
+        raise ValueError(
+            f"batch rows {B} not tileable (TB={TB}); use a multiple of 8"
+        )
     grid = (B // TB,)
 
     kernel = functools.partial(_extract_kernel, k=k, W=W, nw=nw)
@@ -165,10 +171,13 @@ MIN_PALLAS_ROW_LEN = 128  # Mosaic rejects sub-lane-width rows
 
 
 def extract_canonical_planes(batch: jax.Array, k: int):
-    """Dispatch: Pallas on TPU (rows >= one lane width), jnp elsewhere."""
+    """Dispatch: Pallas on TPU (rows >= one lane width, tileable row
+    count), jnp elsewhere."""
+    B, L = batch.shape
     if (
         jax.devices()[0].platform == "tpu"
-        and batch.shape[1] >= MIN_PALLAS_ROW_LEN
+        and L >= MIN_PALLAS_ROW_LEN
+        and (B % 8 == 0 or B < 8)
     ):
         return extract_canonical_planes_tpu(batch, k)
     return extract_canonical_planes_jnp(batch, k)
