@@ -53,6 +53,10 @@ def make_batches(n_batches: int, rows: int, row_len: int, seed: int = 0):
 def main() -> None:
     import jax
 
+    from dsk_tpu.utils.hostmem import tune_malloc
+
+    tune_malloc()
+
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -1186,13 +1186,43 @@ class DistCountEngine:
         )
 
 
+_D2H_STREAMS = 8
+_LIVE_PAD = 1 << 16  # live-prefix rounding: bounds chunker recompiles
+
+
+@functools.lru_cache(maxsize=32)
+def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int):
+    """Jitted device program: slice the live prefix of the tables and
+    emit it as 2*T equal flat chunks (T per array), so the host can pull
+    the chunks over parallel D2H streams.  One compile per padded m."""
+
+    def chunk(flat):
+        total = flat.shape[0]
+        step = -(-total // T)
+        return tuple(flat[i * step : (i + 1) * step] for i in range(T))
+
+    @jax.jit
+    def prep(tab_p, tab_c):
+        tp = tab_p.reshape(WK, n, S, capb)[:, :, :, :m].reshape(-1)
+        tc = tab_c.reshape(n, S, capb)[:, :, :m].reshape(-1)
+        return chunk(tp) + chunk(tc)
+
+    return prep
+
+
 def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan):
-    """Download only the live prefix of each chip's table.
+    """Download only the live prefix of each chip's table, over parallel
+    D2H streams.
 
     sum_by_key compacts live keys to the front of every chip table, so
     rows beyond the per-chip live count are sentinels.  Slicing on device
     before the transfer matters when device->host bandwidth is scarce
-    (the axon tunnel moves ~9 MB/s; a full 8M-slot table is ~100 MB).
+    (the axon tunnel moves ~7-9 MB/s per stream; a full 8M-slot table is
+    ~100 MB).  The tunnel multiplexes concurrent streams well — measured
+    7.3 -> 35 MB/s with 8 threaded chunk downloads (round 2) — so the
+    prefix is pulled as 2x8 flat chunks prepared by one fused device
+    program.  m is rounded up to 64k rows per bucket so the chunker
+    compiles once, not once per run.
     Returns host arrays shaped (WK, n, max_live) and (n, max_live).
     """
     n, cap, S = plan.n, plan.table_cap, plan.S
@@ -1201,6 +1231,14 @@ def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan):
         jnp.sum((tab_c > 0).reshape(n, S, capb), axis=2)
     )
     m = max(int(live.max()) if live.size else 0, 1)
-    tp = np.asarray(tab_p.reshape(WK, n, S, capb)[:, :, :, :m])
-    tc = np.asarray(tab_c.reshape(n, S, capb)[:, :, :m])
+    m = min(-(-m // _LIVE_PAD) * _LIVE_PAD, capb)
+    prep = _prefix_chunker(WK, n, S, capb, m, _D2H_STREAMS)
+    chunks = prep(tab_p, tab_c)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(_D2H_STREAMS) as ex:
+        host = list(ex.map(np.asarray, chunks))
+    T = _D2H_STREAMS
+    tp = np.concatenate(host[:T]).reshape(WK, n, S, m)
+    tc = np.concatenate(host[T:]).reshape(n, S, m)
     return tp, tc

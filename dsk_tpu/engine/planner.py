@@ -15,6 +15,7 @@ for high-coverage data, which errs toward more passes (safe).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -122,31 +123,59 @@ def _host_distinct_two_point(
                 break
     if not parts:
         return 0, 0, 0, 0
-    cat = np.concatenate(parts)
-    if cat.shape[0] < k:
+    total = int(sum(p.shape[0] for p in parts))
+    if total < k:
         return 0, 0, 0, 0
-    half_bound = cat.shape[0] // 2
-    if k <= 32:
-        v, ok = codec.canonical_windows(cat, k)
-        half_mask = np.arange(ok.shape[0]) < half_bound
-        vals = np.asarray(v[ok], dtype=np.uint64)
-        half = np.asarray(v[ok & half_mask], dtype=np.uint64)
-        return (
-            int((ok & half_mask).sum()),
-            int(np.unique(half).shape[0]),
-            int(ok.sum()),
-            int(np.unique(vals).shape[0]),
-        )
-    # large k: vectorized multi-word windows + void-view distinct count
-    # (the python-int fallback degraded badly for W >= 3 — VERDICT r1)
-    words, ok = codec.canonical_window_words(cat, k)
-    half_mask = np.arange(ok.shape[0]) < half_bound
-    return (
-        int((ok & half_mask).sum()),
-        codec.distinct_window_count(words[ok & half_mask]),
-        int(ok.sum()),
-        codec.distinct_window_count(words[ok]),
-    )
+    half_bound = total // 2
+
+    # Sweep PER PART (parts never share windows: each ends in a 0xFF
+    # separator) with canonical-invariant 64-bit hash keys: any k in
+    # O(log k) u64 passes, and a bounded working set that reuses heap
+    # pages (fresh page faults run ~100 MB/s on this VM class — a single
+    # full-sample sweep measured 38-57 s in round 2; see utils.hostmem).
+    # Distinct counts use hash THINNING: every distinct key survives
+    # keys < 2^64/factor with probability 1/factor independent of its
+    # multiplicity, so distinct_total ~ factor * distinct(thinned) —
+    # unbiased, ~1/sqrt(kept) relative error (factor sized for >= 64k
+    # kept keys).  Exact (factor=1) below 4M sample windows, where tests
+    # and tiny inputs live.
+    factor = 1
+    while factor < 4096 and (total >> 16) > factor * 4:
+        factor *= 2
+    thresh = np.uint64((1 << 64) - 1) // np.uint64(factor)
+    def sweep(part: np.ndarray, off: int):
+        keys, okv = codec.hash_canonical_windows(part, k)
+        in_half = np.arange(okv.shape[0], dtype=np.int64) < half_bound - off
+        # window counts stay EXACT (they are the marginal-rate
+        # denominators); only the distinct sets are thinned
+        wf = int(okv.sum())
+        wh = int((okv & in_half).sum())
+        sel = okv if factor == 1 else okv & (keys <= thresh)
+        return wf, wh, keys[sel], keys[sel & in_half]
+
+    offsets = np.concatenate(
+        [[0], np.cumsum([p.shape[0] for p in parts])]
+    )[:-1]
+    todo = [
+        (part, int(off))
+        for part, off in zip(parts, offsets)
+        if part.shape[0] >= k
+    ]
+    # numpy ufuncs drop the GIL: fan the sweeps over a small thread pool
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_threads = min(4, max(1, (os.cpu_count() or 1)), len(todo) or 1)
+    with ThreadPoolExecutor(n_threads) as ex:
+        results = list(ex.map(lambda a: sweep(*a), todo))
+    if not results:
+        return 0, 0, 0, 0
+    win_full = sum(r[0] for r in results)
+    win_half = sum(r[1] for r in results)
+    kept_full = [r[2] for r in results]
+    kept_half = [r[3] for r in results]
+    d_half = int(np.unique(np.concatenate(kept_half)).shape[0]) * factor
+    d_full = int(np.unique(np.concatenate(kept_full)).shape[0]) * factor
+    return win_half, d_half, win_full, d_full
 
 
 def plan_resources(
@@ -163,6 +192,9 @@ def plan_resources(
     100 bp reads wastes ~60% of window slots as padding); batch_rows then
     targets ~2M windows per batch on TPU (the axon tunnel costs ~6.5 ms
     per dispatch — big fused batches keep the pipeline compute-bound)."""
+    from dsk_tpu.utils.hostmem import tune_malloc
+
+    tune_malloc()  # sampling sweeps allocate ~100 MB temps; see hostmem
     if isinstance(bank, str):
         bank = open_bank(bank)
     W = codec.words_per_kmer(k)

@@ -173,6 +173,9 @@ class RunOutput:
 
 def execute(params: RunParams) -> RunOutput:
     """Run a full count: the dsk tool in library form."""
+    from dsk_tpu.utils.hostmem import tune_malloc
+
+    tune_malloc()  # big-temp numpy pipeline; see utils/hostmem.py
     progress = Progress(params.verbose)
     timers = TimeInfo()
     bank = open_bank(params.file)

@@ -151,6 +151,140 @@ def distinct_window_count(words: np.ndarray) -> int:
     return int(np.unique(view).shape[0])
 
 
+def _packed_windows_doubling(
+    c: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(forward, revcomp) packed u64 values of every k-window, k <= 32.
+
+    Doubling scheme: level tables hold the packed value of 2^j-base
+    blocks at every offset (f_{2p}[i] = f_p[i] << 2p | f_p[i+p]); the
+    final value combines one block per set bit of k.  O(log k) passes on
+    the narrowest dtype that fits each width, instead of O(k) passes on
+    u64 — ~15x less memory traffic, which dominates on hosts where fresh
+    pages fault slowly (see utils.hostmem).  Semantics identical to the
+    naive per-base loop (pinned by tests/test_oracle.py fixtures).
+    """
+    n = c.shape[0]
+
+    def _dt(bits: int):
+        return (
+            np.uint8 if bits <= 8 else
+            np.uint16 if bits <= 16 else
+            np.uint32 if bits <= 32 else np.uint64
+        )
+
+    # level tables: f[p][i] / r[p][i] = packed forward / revcomp value of
+    # the p bases starting at i (dtype = smallest holding 2p bits)
+    f: dict[int, np.ndarray] = {1: c}
+    r: dict[int, np.ndarray] = {1: c ^ np.uint8(2)}
+    p = 1
+    while p * 2 <= k:
+        q = p * 2
+        t = _dt(2 * q)
+        m = n - q + 1
+        fp = f[p]
+        rp = r[p]
+        f[q] = (fp[:m].astype(t) << t(2 * p)) | fp[p : p + m]
+        r[q] = (rp[p : p + m].astype(t) << t(2 * p)) | rp[:m]
+        p = q
+
+    # combine one block per set bit of k, most significant first
+    bits_desc = [1 << j for j in range(p.bit_length()) if k & (1 << j)]
+    bits_desc.reverse()
+    p0 = bits_desc[0]
+    nw = n - k + 1
+    F = f[p0].astype(np.uint64)
+    R = r[p0].astype(np.uint64)
+    w0 = p0
+    for pj in bits_desc[1:]:
+        L = n - (w0 + pj) + 1
+        F = (F[:L] << np.uint64(2 * pj)) | f[pj][w0 : w0 + L]
+        R = (r[pj][w0 : w0 + L].astype(np.uint64) << np.uint64(2 * w0)) | R[:L]
+        w0 += pj
+    return F[:nw], R[:nw]
+
+
+_HASH_P = 0x9E3779B97F4A7C15 | 1  # odd multiplier, mod-2^64 polynomial hash
+
+
+def _splitmix_final(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: decorrelates polynomial-hash outputs so the
+    result is uniform in every bit (the planner thins by threshold)."""
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def hash_canonical_windows(
+    codes: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical-INVARIANT uniform 64-bit hash of every k-window, any k.
+
+    key[i] = finalize(min(H(fwd_i), H(rc_i))) where H is a polynomial
+    rolling hash mod 2^64 — min over the unordered {fwd, rc} pair makes
+    the key equal for a kmer and its reverse complement, so distinct keys
+    estimate distinct CANONICAL kmers (collision probability ~N^2/2^64,
+    irrelevant for capacity planning).  Doubling scheme like
+    _packed_windows_doubling: O(log k) u64 passes for ANY k — this is the
+    planner's sampling sweep (the exact multi-word sweep is O(k*W) and
+    was the round-2 configure-phase bottleneck).
+
+    Returns (keys u64, valid bool); invalid windows hold junk keys.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    if n < k:
+        return np.empty(0, np.uint64), np.empty(0, bool)
+    nw = n - k + 1
+    is_valid = codes <= 3
+    bad = (~is_valid).astype(np.int32)
+    cbad = np.concatenate([np.zeros(1, np.int32), np.cumsum(bad, dtype=np.int32)])
+    valid = (cbad[k:] - cbad[:-k]) == 0
+
+    c = np.where(is_valid, codes, 0)
+    if k <= 32:
+        # exact 2k-bit canonical value fits u64: splitmix64 is a BIJECTION
+        # of u64, so these keys are collision-free AND uniform — the
+        # thinned distinct estimate is exact-in-expectation with no hash
+        # collisions at all
+        F, R = _packed_windows_doubling(c, k)
+        return _splitmix_final(np.minimum(F, R)), valid
+    M = 1 << 64
+    # level tables: h[p][i] / g[p][i] = poly hash of the p bases / of the
+    # REVCOMP of the p bases starting at i.
+    # h_{2p}[i] = h_p[i]*P^p + h_p[i+p];  g_{2p}[i] = g_p[i+p]*P^p + g_p[i]
+    h: dict[int, np.ndarray] = {1: c.astype(np.uint64)}
+    g: dict[int, np.ndarray] = {1: (c ^ np.uint8(2)).astype(np.uint64)}
+    ppow = {1: _HASH_P % M}
+    p = 1
+    while p * 2 <= k:
+        q = p * 2
+        m = n - q + 1
+        pp = np.uint64(ppow[p])
+        h[q] = h[p][:m] * pp + h[p][p : p + m]
+        g[q] = g[p][p : p + m] * pp + g[p][:m]
+        ppow[q] = (ppow[p] * ppow[p]) % M
+        p = q
+
+    bits_desc = [1 << j for j in range(k.bit_length()) if k & (1 << j)]
+    bits_desc.reverse()
+    p0 = bits_desc[0]
+    H = h[p0].copy()
+    G = g[p0].copy()
+    w0 = p0
+    pw0 = ppow[p0]
+    for pj in bits_desc[1:]:
+        L = n - (w0 + pj) + 1
+        H = H[:L] * np.uint64(ppow[pj]) + h[pj][w0 : w0 + L]
+        G = g[pj][w0 : w0 + L] * np.uint64(pw0) + G[:L]
+        w0 += pj
+        pw0 = (pw0 * ppow[pj]) % M
+    return _splitmix_final(np.minimum(H[:nw], G[:nw])), valid
+
+
 def canonical_windows(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All valid canonical k-mers of one encoded sequence (host reference impl).
 
@@ -172,15 +306,11 @@ def canonical_windows(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
     cbad = np.concatenate([[0], np.cumsum(bad)])
     valid = (cbad[k:] - cbad[:-k]) == 0
 
-    codes_i = np.where(is_valid, codes, 0).astype(np.uint64)
     if k <= 32:
-        fwd = np.zeros(nw, dtype=np.uint64)
-        rc = np.zeros(nw, dtype=np.uint64)
-        for j in range(k):
-            win = codes_i[j : nw + j]
-            fwd |= win << np.uint64(2 * (k - 1 - j))
-            rc |= (win ^ np.uint64(2)) << np.uint64(2 * j)
+        c = np.where(is_valid, codes, 0)
+        fwd, rc = _packed_windows_doubling(c, k)
         return np.minimum(fwd, rc), valid
+    codes_i = np.where(is_valid, codes, 0).astype(np.uint64)
     # large-k slow path (python ints)
     vals = np.empty(nw, dtype=object)
     for i in range(nw):

@@ -126,3 +126,78 @@ def test_iupac_codes_split_reads(data_dir):
             if all(ch in b"ACGT" for ch in win):
                 v = c.canonical_value(c.string_to_kmer(win.decode()), k)
                 assert v in got
+
+
+@pytest.mark.parametrize("k", list(range(1, 33)))
+def test_packed_windows_doubling_matches_naive(k):
+    # the doubling rewrite (round 2: O(log k) narrow-dtype passes) must be
+    # bit-identical to the per-base definition for every k <= 32
+    rng = np.random.default_rng(100 + k)
+    seq = rng.integers(0, 5, size=257, dtype=np.uint8)  # 4 = invalid
+    codes = np.where(seq == 4, codec.INVALID, seq).astype(np.uint8)
+    v, ok = codec.canonical_windows(codes, k)
+    n = codes.shape[0]
+    for i in range(n - k + 1):
+        win = codes[i : i + k]
+        valid = bool((win <= 3).all())
+        assert valid == ok[i]
+        if valid:
+            f = 0
+            for b in win:
+                f = (f << 2) | int(b)
+            assert int(v[i]) == codec.canonical_value(f, k)
+
+
+@pytest.mark.parametrize("k", [5, 27, 31, 32, 33, 63, 65, 96])
+def test_hash_canonical_windows_invariance(k):
+    # key(kmer) == key(revcomp(kmer)) for any k; distinct keys == distinct
+    # canonical kmers on collision-free-scale data
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    rc = (codes ^ 2)[::-1].copy()
+    kf, okf = codec.hash_canonical_windows(codes, k)
+    kr, okr = codec.hash_canonical_windows(rc, k)
+    assert np.array_equal(np.sort(kf[okf]), np.sort(kr[okr][::-1]))
+    # distinct keys == distinct canonical kmers (oracle comparison)
+    if k <= 32:
+        v, ok = codec.canonical_windows(codes, k)
+        assert np.unique(kf[okf]).shape[0] == np.unique(v[ok]).shape[0]
+    # invalid chars mask identically
+    codes2 = codes.copy()
+    codes2[::97] = codec.INVALID
+    _, ok2 = codec.hash_canonical_windows(codes2, k)
+    v2, okv2 = codec.canonical_window_words(codes2, k)
+    assert np.array_equal(ok2, okv2)
+
+
+def test_planner_thinned_distinct_estimate_close():
+    # the thinning estimator (factor > 1) must stay within a few percent
+    # of the exact distinct count on high-duplication data
+    from dsk_tpu.engine import planner as P
+    from dsk_tpu.io.bank import open_bank
+    import tempfile, os
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, size=200_000, dtype=np.uint8)
+    reads = []
+    for i in range(60_000):  # ~6M bases => windows > 4M => factor > 1
+        s = int(rng.integers(0, genome.shape[0] - 100))
+        reads.append(genome[s : s + 100])
+    b = "".join(
+        ">r%d\n%s\n" % (i, codec.decode_codes(r)) for i, r in enumerate(reads)
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.fasta")
+        with open(path, "w") as f:
+            f.write(b)
+        s1, d1, s2, d2 = P._host_distinct_two_point(
+            open_bank(path), 31, limit_bases=20 << 20
+        )
+    # exact distinct of the whole sample
+    cat = np.concatenate(
+        [np.concatenate([r, [codec.INVALID]]) for r in reads]
+    ).astype(np.uint8)
+    v, ok = codec.canonical_windows(cat, 31)
+    exact = np.unique(v[ok]).shape[0]
+    assert s2 > 4_000_000  # thinning actually engaged
+    assert abs(d2 - exact) / exact < 0.05
