@@ -638,59 +638,27 @@ class DistCountEngine:
             shmap(hist_shard, in_specs=(pb,), out_specs=pr)
         )
 
-    def _aot_cache_key(self, name: str) -> str:
-        """Key for the cross-process AOT executable cache: everything
-        that shapes the compiled program."""
+    def _aot_cache_key(self, name: str, lowered) -> str:
+        """Key for the cross-process AOT executable cache: the lowered
+        StableHLO program itself plus the toolchain/device — a cached
+        executable matches iff the EXACT program it was built from
+        matches, so unrelated source edits never invalidate it (hashing
+        source files did, and a cold step compile runs ~20 min through
+        the remote compile service)."""
         import hashlib
         import json
-        import os as _os
 
         import jaxlib
 
-        # program-source salt: a cached executable must never outlive the
-        # code that built it (shapes alone cannot distinguish versions)
-        src_h = hashlib.sha256()
-        base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        for rel in (
-            "dist/engine.py",
-            "kmer/device.py",
-            "kmer/pallas_kernels.py",
-            "kmer/minimizer.py",
-        ):
-            try:
-                with open(_os.path.join(base, rel), "rb") as f:
-                    src_h.update(f.read())
-            except OSError:
-                pass
-
         cfg = {
-            "src": src_h.hexdigest()[:16],
+            "hlo": hashlib.sha256(
+                lowered.as_text().encode()
+            ).hexdigest(),
             "name": name,
             "jax": jax.__version__,
             "jaxlib": getattr(jaxlib, "__version__", "?"),
             "device": self.mesh.devices.flat[0].device_kind,
             "n": self.n,
-            "k": self.k,
-            "WK": self.WK,
-            "plan": [
-                self.plan.rows_per_chip, self.plan.nw, self.plan.send_cap,
-                self.plan.buf_batches, self.plan.buf_cap,
-                self.plan.table_cap,
-            ],
-            "row_len": self.row_len,
-            "n_passes": self.n_passes,
-            "per_bank": self.per_bank,
-            "routing": self.routing,
-            "mlen": self.minimizer_size,
-            "max_span": self.max_span,
-            "repart": (
-                None if self.repartition is None
-                else hashlib.sha256(
-                    np.ascontiguousarray(self.repartition)
-                ).hexdigest()[:16]
-            ),
-            "pallas": self.use_pallas,
-            "nb_bins": self.nb_bins,
         }
         return hashlib.sha256(
             json.dumps(cfg, sort_keys=True).encode()
@@ -742,8 +710,9 @@ class DistCountEngine:
             ("hist", "_hist", (tc,)),
         ):
             t0 = _time.perf_counter()
+            lowered = getattr(self, fn).lower(*args)
             path = (
-                os.path.join(cdir, f"{self._aot_cache_key(name)}.aotx")
+                os.path.join(cdir, f"{self._aot_cache_key(name, lowered)}.aotx")
                 if cdir else None
             )
             loaded = False
@@ -768,7 +737,7 @@ class DistCountEngine:
                 except Exception:
                     loaded = False
             if not loaded:
-                compiled = getattr(self, fn).lower(*args).compile()
+                compiled = lowered.compile()
                 setattr(self, fn, compiled)
                 if path:
                     try:
