@@ -638,27 +638,81 @@ class DistCountEngine:
             shmap(hist_shard, in_specs=(pb,), out_specs=pr)
         )
 
-    def _aot_cache_key(self, name: str, lowered) -> str:
-        """Key for the cross-process AOT executable cache: the lowered
-        StableHLO program itself plus the toolchain/device — a cached
-        executable matches iff the EXACT program it was built from
-        matches, so unrelated source edits never invalidate it (hashing
-        source files did, and a cold step compile runs ~20 min through
-        the remote compile service)."""
-        import hashlib
-        import json
-
+    def _aot_env_cfg(self) -> dict:
         import jaxlib
 
-        cfg = {
-            "hlo": hashlib.sha256(
-                lowered.as_text().encode()
-            ).hexdigest(),
-            "name": name,
+        return {
             "jax": jax.__version__,
             "jaxlib": getattr(jaxlib, "__version__", "?"),
             "device": self.mesh.devices.flat[0].device_kind,
             "n": self.n,
+        }
+
+    def _aot_fast_key(self, name: str) -> str:
+        """FAST cache key: source files + every knob that shapes the
+        program.  Computable without tracing — a hit loads the
+        executable with no lowering at all (tracing the big scan program
+        costs minutes on this host, so the warm path must avoid it)."""
+        import hashlib
+        import json
+        import os as _os
+
+        src_h = hashlib.sha256()
+        base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        for rel in (
+            "dist/engine.py",
+            "kmer/device.py",
+            "kmer/pallas_kernels.py",
+            "kmer/minimizer.py",
+        ):
+            try:
+                with open(_os.path.join(base, rel), "rb") as f:
+                    src_h.update(f.read())
+            except OSError:
+                pass
+        cfg = {
+            "src": src_h.hexdigest()[:16],
+            "name": name,
+            "k": self.k,
+            "WK": self.WK,
+            "plan": [
+                self.plan.rows_per_chip, self.plan.nw, self.plan.send_cap,
+                self.plan.buf_batches, self.plan.buf_cap,
+                self.plan.table_cap, self.plan.S,
+            ],
+            "row_len": self.row_len,
+            "n_passes": self.n_passes,
+            "per_bank": self.per_bank,
+            "routing": self.routing,
+            "mlen": self.minimizer_size,
+            "max_span": self.max_span,
+            "repart": (
+                None if self.repartition is None
+                else hashlib.sha256(
+                    np.ascontiguousarray(self.repartition)
+                ).hexdigest()[:16]
+            ),
+            "pallas": self.use_pallas,
+            "nb_bins": self.nb_bins,
+            **self._aot_env_cfg(),
+        }
+        return hashlib.sha256(
+            json.dumps(cfg, sort_keys=True).encode()
+        ).hexdigest()[:32]
+
+    def _aot_hlo_key(self, name: str, lowered) -> str:
+        """CANONICAL cache key: sha256 of the lowered StableHLO plus the
+        toolchain/device.  Survives source edits that do not change the
+        compiled program (verified byte-identical across processes); the
+        fast key stores a POINTER to this entry, so a source edit costs
+        one re-lowering, not a ~20 min recompile."""
+        import hashlib
+        import json
+
+        cfg = {
+            "hlo": hashlib.sha256(lowered.as_text().encode()).hexdigest(),
+            "name": name,
+            **self._aot_env_cfg(),
         }
         return hashlib.sha256(
             json.dumps(cfg, sort_keys=True).encode()
@@ -705,33 +759,66 @@ class DistCountEngine:
         else:
             cdir = None  # multi-process executables are per-topology
 
+        def load(path):
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load,
+            )
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            return deserialize_and_load(payload, in_tree, out_tree)
+
+        def atomic_write(path, write_fn):
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                write_fn(f)
+            os.replace(tmp, path)
+
         for name, fn, args in (
             ("step", "_step", (bg, bi, tp, tc, ov, ov, sc)),
             ("hist", "_hist", (tc,)),
         ):
             t0 = _time.perf_counter()
-            lowered = getattr(self, fn).lower(*args)
-            path = (
-                os.path.join(cdir, f"{self._aot_cache_key(name, lowered)}.aotx")
+            # fast path: source+shape pointer file -> canonical entry,
+            # loadable with NO lowering (tracing the scan program costs
+            # minutes on this host)
+            fast_path = (
+                os.path.join(cdir, f"{self._aot_fast_key(name)}.ptr")
                 if cdir else None
             )
             loaded = False
-            if path and os.path.exists(path):
+            if fast_path and os.path.exists(fast_path):
                 try:
-                    from jax.experimental.serialize_executable import (
-                        deserialize_and_load,
-                    )
-
-                    with open(path, "rb") as f:
-                        payload, in_tree, out_tree = pickle.load(f)
-                    setattr(
-                        self, fn,
-                        deserialize_and_load(payload, in_tree, out_tree),
-                    )
+                    with open(fast_path) as f:
+                        target = os.path.join(
+                            cdir, os.path.basename(f.read().strip())
+                        )
+                    setattr(self, fn, load(target))
                     loaded = True
                     if progress:
                         progress(
                             f"loaded {name} from AOT cache in "
+                            f"{_time.perf_counter() - t0:.1f}s"
+                        )
+                except Exception:
+                    loaded = False
+            if loaded:
+                continue
+            # slow path: lower (trace) once, look up by the HLO hash —
+            # a source edit that leaves the program unchanged re-links
+            # the pointer instead of recompiling
+            lowered = getattr(self, fn).lower(*args)
+            path = (
+                os.path.join(cdir, f"{self._aot_hlo_key(name, lowered)}.aotx")
+                if cdir else None
+            )
+            if path and os.path.exists(path):
+                try:
+                    setattr(self, fn, load(path))
+                    loaded = True
+                    if progress:
+                        progress(
+                            f"loaded {name} via HLO key in "
                             f"{_time.perf_counter() - t0:.1f}s"
                         )
                 except Exception:
@@ -746,17 +833,27 @@ class DistCountEngine:
                         )
 
                         payload, in_tree, out_tree = serialize(compiled)
-                        tmp = path + f".tmp{os.getpid()}"
-                        with open(tmp, "wb") as f:
-                            pickle.dump((payload, in_tree, out_tree), f)
-                        os.replace(tmp, path)
+                        atomic_write(
+                            path,
+                            lambda f: pickle.dump(
+                                (payload, in_tree, out_tree), f
+                            ),
+                        )
                     except Exception:
-                        pass  # backend without serialization support
+                        path = None  # backend without serialization
                 if progress:
                     progress(
                         f"compiled {name} in "
                         f"{_time.perf_counter() - t0:.1f}s"
                     )
+            if fast_path and path:
+                try:
+                    atomic_write(
+                        fast_path,
+                        lambda f: f.write(os.path.basename(path).encode()),
+                    )
+                except OSError:
+                    pass
         return self
 
     def _init_state(self):
@@ -959,6 +1056,9 @@ class DistCountEngine:
                 rr,
             )
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         n_groups = 0
         for codes_dev, bids_dev, bb, rr in prefetch(
             (put(g) for g in groups(batches)), depth=3
@@ -977,13 +1077,14 @@ class DistCountEngine:
             # sync, so amortize it)
             if n_groups % 8 == 0:
                 self._check_overflow(over, tover)
-        self._check_overflow(over, tover)
+        self._check_overflow(over, tover)  # final host sync: device drained
 
         info = {
             "n_bases": n_bases,
             "n_reads": n_reads,
             "nb_banks": nb_banks,
             "n_chips": plan.n,
+            "t_stream": round(_time.perf_counter() - t0, 3),
         }
         if self.multi_process:
             from jax.experimental import multihost_utils
@@ -1000,8 +1101,10 @@ class DistCountEngine:
 
         if not self.per_bank:
             # histogram is psum-merged on device: identical on every host
+            th = _time.perf_counter()
             hist = np.zeros(self.nb_bins + 1, np.int64)
             hist += np.asarray(self._hist(tab_c), dtype=np.int64)
+            info["t_hist"] = round(_time.perf_counter() - th, 3)
             if not finalize:
                 self._last_state = (tab_p, tab_c)
                 info["n_distinct_device"] = int(hist[1:].sum())
@@ -1012,7 +1115,9 @@ class DistCountEngine:
                     histogram=hist,
                     info=info,
                 )
+            tg = _time.perf_counter()
             kmers, counts, sizes = self.gather_tables(tab_p, tab_c)
+            info["t_gather"] = round(_time.perf_counter() - tg, 3)
             info["partition_sizes"] = sizes
             return CountResult(
                 k=k, kmers=kmers, counts=counts, histogram=hist, info=info
