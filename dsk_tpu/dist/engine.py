@@ -637,6 +637,18 @@ class DistCountEngine:
         self._hist = jax.jit(
             shmap(hist_shard, in_specs=(pb,), out_specs=pr)
         )
+        # live-bucket occupancy for the gather path: (n*cap,) counts ->
+        # (n, S) per-bucket live totals.  Tiny program, but eager
+        # dispatch of the equivalent jnp.sum costs a fresh remote compile
+        # per process (~2 s through the tunnel); jitted here so compile()
+        # can AOT-cache it with the big programs.
+        capb = plan.table_cap // plan.S
+        self._live = jax.jit(
+            lambda tc: jnp.sum(
+                (tc > 0).reshape(plan.n, plan.S, capb),
+                axis=2, dtype=jnp.int32,
+            )
+        )
 
     def _aot_env_cfg(self) -> dict:
         import jaxlib
@@ -732,8 +744,6 @@ class DistCountEngine:
         program shape — a warm CLI start skips the multi-minute compile.
         Set DSK_TPU_AOT_CACHE=0 to disable."""
         import os
-        import pickle
-        import time as _time
 
         import jax.numpy as _jnp
 
@@ -759,101 +769,25 @@ class DistCountEngine:
         else:
             cdir = None  # multi-process executables are per-topology
 
-        def load(path):
-            from jax.experimental.serialize_executable import (
-                deserialize_and_load,
-            )
-
-            with open(path, "rb") as f:
-                payload, in_tree, out_tree = pickle.load(f)
-            return deserialize_and_load(payload, in_tree, out_tree)
-
-        def atomic_write(path, write_fn):
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                write_fn(f)
-            os.replace(tmp, path)
-
-        for name, fn, args in (
+        self._aot_cdir = cdir
+        programs = [
             ("step", "_step", (bg, bi, tp, tc, ov, ov, sc)),
             ("hist", "_hist", (tc,)),
-        ):
-            t0 = _time.perf_counter()
-            # fast path: source+shape pointer file -> canonical entry,
-            # loadable with NO lowering (tracing the scan program costs
-            # minutes on this host)
-            fast_path = (
-                os.path.join(cdir, f"{self._aot_fast_key(name)}.ptr")
-                if cdir else None
+        ]
+        if self.n == 1 and not self.multi_process:
+            # live-prefix helper for the gather path (single-chip only:
+            # AOT avals carry no sharding, fine when nothing is sharded)
+            programs.append(("live", "_live", (tc,)))
+        for name, fn, args in programs:
+            setattr(
+                self, fn,
+                _aot_get(
+                    getattr(self, fn), args, cdir,
+                    self._aot_fast_key(name),
+                    lambda low, name=name: self._aot_hlo_key(name, low),
+                    progress, name,
+                ),
             )
-            loaded = False
-            if fast_path and os.path.exists(fast_path):
-                try:
-                    with open(fast_path) as f:
-                        target = os.path.join(
-                            cdir, os.path.basename(f.read().strip())
-                        )
-                    setattr(self, fn, load(target))
-                    loaded = True
-                    if progress:
-                        progress(
-                            f"loaded {name} from AOT cache in "
-                            f"{_time.perf_counter() - t0:.1f}s"
-                        )
-                except Exception:
-                    loaded = False
-            if loaded:
-                continue
-            # slow path: lower (trace) once, look up by the HLO hash —
-            # a source edit that leaves the program unchanged re-links
-            # the pointer instead of recompiling
-            lowered = getattr(self, fn).lower(*args)
-            path = (
-                os.path.join(cdir, f"{self._aot_hlo_key(name, lowered)}.aotx")
-                if cdir else None
-            )
-            if path and os.path.exists(path):
-                try:
-                    setattr(self, fn, load(path))
-                    loaded = True
-                    if progress:
-                        progress(
-                            f"loaded {name} via HLO key in "
-                            f"{_time.perf_counter() - t0:.1f}s"
-                        )
-                except Exception:
-                    loaded = False
-            if not loaded:
-                compiled = lowered.compile()
-                setattr(self, fn, compiled)
-                if path:
-                    try:
-                        from jax.experimental.serialize_executable import (
-                            serialize,
-                        )
-
-                        payload, in_tree, out_tree = serialize(compiled)
-                        atomic_write(
-                            path,
-                            lambda f: pickle.dump(
-                                (payload, in_tree, out_tree), f
-                            ),
-                        )
-                    except Exception:
-                        path = None  # backend without serialization
-                if progress:
-                    progress(
-                        f"compiled {name} in "
-                        f"{_time.perf_counter() - t0:.1f}s"
-                    )
-            if fast_path and path:
-                try:
-                    atomic_write(
-                        fast_path,
-                        lambda f: f.write(os.path.basename(path).encode()),
-                    )
-                except OSError:
-                    pass
         return self
 
     def _init_state(self):
@@ -1188,7 +1122,14 @@ class DistCountEngine:
         W, plan = self.W, self.plan
         if self.multi_process:
             return self._gather_tables_local(tab_p, tab_c, W)
-        tp, tc = _live_prefix(tab_p, tab_c, W, plan)
+        # AOT-cached helpers only on single-chip engines: AOT avals carry
+        # no sharding, so the cached executables reject sharded arrays
+        single = plan.n == 1
+        tp, tc = _live_prefix(
+            tab_p, tab_c, W, plan,
+            getattr(self, "_live", None) if single else None,
+            getattr(self, "_aot_cdir", None) if single else None,
+        )
         parts_w, parts_c, sizes = [], [], []
         for p in range(plan.n):
             mask = tc[p] > 0                     # (S, m)
@@ -1240,7 +1181,12 @@ class DistCountEngine:
         from dsk_tpu.engine.counter import _group_by_kmer
 
         W, WK, plan = self.W, self.WK, self.plan
-        tp, tc = _live_prefix(tab_p, tab_c, WK, plan)
+        single = plan.n == 1
+        tp, tc = _live_prefix(
+            tab_p, tab_c, WK, plan,
+            getattr(self, "_live", None) if single else None,
+            getattr(self, "_aot_cdir", None) if single else None,
+        )
         parts_k, parts_c, parts_b, sizes = [], [], [], []
         for p in range(plan.n):
             mask = tc[p] > 0                # (S, m)
@@ -1260,15 +1206,113 @@ class DistCountEngine:
         )
 
 
+def _aot_load(path):
+    import pickle
+
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(path, "rb") as f:
+        payload, in_tree, out_tree = pickle.load(f)
+    return deserialize_and_load(payload, in_tree, out_tree)
+
+
+def _atomic_write(path, write_fn):
+    import os
+
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        write_fn(f)
+    os.replace(tmp, path)
+
+
+def _aot_get(jit_fn, args, cdir, fast_key, hlo_key_fn, progress=None,
+             name=""):
+    """Resolve a jitted program to a compiled executable through the
+    two-level AOT cache.
+
+    Level 1 (FAST): `{fast_key}.ptr` names the canonical entry and is
+    computable without tracing — a hit loads the executable with no
+    lowering at all (tracing the big scan program costs minutes here).
+    Level 2 (CANONICAL): `{hlo_key}.aotx` keyed by the lowered StableHLO,
+    so a source edit that leaves the program unchanged re-links the
+    pointer instead of recompiling.  `cdir=None` compiles uncached."""
+    import os
+    import pickle
+    import time as _time
+
+    t0 = _time.perf_counter()
+    fast_path = os.path.join(cdir, f"{fast_key}.ptr") if cdir else None
+    if fast_path and os.path.exists(fast_path):
+        try:
+            with open(fast_path) as f:
+                target = os.path.join(
+                    cdir, os.path.basename(f.read().strip())
+                )
+            ex = _aot_load(target)
+            if progress:
+                progress(
+                    f"loaded {name} from AOT cache in "
+                    f"{_time.perf_counter() - t0:.1f}s"
+                )
+            return ex
+        except Exception:
+            pass
+    lowered = jit_fn.lower(*args)
+    path = (
+        os.path.join(cdir, f"{hlo_key_fn(lowered)}.aotx") if cdir else None
+    )
+    compiled = None
+    if path and os.path.exists(path):
+        try:
+            compiled = _aot_load(path)
+            if progress:
+                progress(
+                    f"loaded {name} via HLO key in "
+                    f"{_time.perf_counter() - t0:.1f}s"
+                )
+        except Exception:
+            compiled = None
+    if compiled is None:
+        compiled = lowered.compile()
+        if path:
+            try:
+                from jax.experimental.serialize_executable import serialize
+
+                payload, in_tree, out_tree = serialize(compiled)
+                _atomic_write(
+                    path,
+                    lambda f: pickle.dump((payload, in_tree, out_tree), f),
+                )
+            except Exception:
+                path = None  # backend without serialization
+        if progress:
+            progress(
+                f"compiled {name} in {_time.perf_counter() - t0:.1f}s"
+            )
+    if fast_path and path:
+        try:
+            _atomic_write(
+                fast_path,
+                lambda f: f.write(os.path.basename(path).encode()),
+            )
+        except OSError:
+            pass
+    return compiled
+
+
 _D2H_STREAMS = 8
 _LIVE_PAD = 1 << 16  # live-prefix rounding: bounds chunker recompiles
 
 
 @functools.lru_cache(maxsize=32)
-def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int):
+def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int,
+                    cdir: str | None = None):
     """Jitted device program: slice the live prefix of the tables and
     emit it as 2*T equal flat chunks (T per array), so the host can pull
-    the chunks over parallel D2H streams.  One compile per padded m."""
+    the chunks over parallel D2H streams.  One compile per padded m per
+    process; with `cdir` the executable is AOT-cached cross-process
+    (first-call dispatch compilation of even this small program costs
+    ~2 s through the remote compile tunnel)."""
 
     def chunk(flat):
         total = flat.shape[0]
@@ -1281,10 +1325,44 @@ def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int):
         tc = tab_c.reshape(n, S, capb)[:, :, :m].reshape(-1)
         return chunk(tp) + chunk(tc)
 
-    return prep
+    if cdir is None:
+        return prep
+
+    import hashlib
+    import json
+
+    import jaxlib
+
+    env = {
+        "jax": jax.__version__,
+        "jaxlib": getattr(jaxlib, "__version__", "?"),
+        "device": jax.devices()[0].device_kind,
+    }
+    cfg = {"chunker": [WK, n, S, capb, m, T], **env}
+    fast_key = hashlib.sha256(
+        json.dumps(cfg, sort_keys=True).encode()
+    ).hexdigest()[:32]
+
+    def hlo_key(lowered):
+        hcfg = {
+            "hlo": hashlib.sha256(lowered.as_text().encode()).hexdigest(),
+            "name": "chunker",
+            **env,
+        }
+        return hashlib.sha256(
+            json.dumps(hcfg, sort_keys=True).encode()
+        ).hexdigest()[:32]
+
+    cap = S * capb
+    avals = (
+        jax.ShapeDtypeStruct((WK, n * cap), jnp.uint32),
+        jax.ShapeDtypeStruct((n * cap,), jnp.int32),
+    )
+    return _aot_get(prep, avals, cdir, fast_key, hlo_key, None, "chunker")
 
 
-def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan):
+def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan, live_fn=None,
+                 cdir: str | None = None):
     """Download only the live prefix of each chip's table, over parallel
     D2H streams.
 
@@ -1301,12 +1379,15 @@ def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan):
     """
     n, cap, S = plan.n, plan.table_cap, plan.S
     capb = cap // S
-    live = np.asarray(
-        jnp.sum((tab_c > 0).reshape(n, S, capb), axis=2)
-    )
+    if live_fn is not None:
+        live = np.asarray(live_fn(tab_c))
+    else:
+        live = np.asarray(
+            jnp.sum((tab_c > 0).reshape(n, S, capb), axis=2)
+        )
     m = max(int(live.max()) if live.size else 0, 1)
     m = min(-(-m // _LIVE_PAD) * _LIVE_PAD, capb)
-    prep = _prefix_chunker(WK, n, S, capb, m, _D2H_STREAMS)
+    prep = _prefix_chunker(WK, n, S, capb, m, _D2H_STREAMS, cdir)
     chunks = prep(tab_p, tab_c)
     from concurrent.futures import ThreadPoolExecutor
 
