@@ -16,6 +16,16 @@ The kmer word layout is the canonical device representation (word 0 most
 significant; dsk_tpu.kmer.codec.value_to_words), so stored bytes are
 directly comparable with device output and lexicographic word order ==
 the A<C<T<G kmer order.
+
+DELIBERATE re-design, NOT byte-compatible with gatb's container: the
+reference stores little-endian-word LargeInt records plus gatb's own
+group/attribute plumbing, so its tools (utils/dsk2ascii.cpp) cannot open
+this store and vice versa.  Keeping the device word order on disk makes
+store writes a plain memcpy of device output (no per-record byte swap of
+multi-million-row tables on the host) and keeps on-disk sort order equal
+to device sort order.  Consumers get the same information through this
+package's dsk2ascii/dskdump CLIs, which reproduce the reference tools'
+text output byte-for-byte (tests/test_store_cli.py golden fixtures).
 """
 
 from __future__ import annotations
