@@ -778,6 +778,7 @@ class DistCountEngine:
             # live-prefix helper for the gather path (single-chip only:
             # AOT avals carry no sharding, fine when nothing is sharded)
             programs.append(("live", "_live", (tc,)))
+        devs = tuple(self.mesh.devices.flat)
         for name, fn, args in programs:
             setattr(
                 self, fn,
@@ -785,7 +786,7 @@ class DistCountEngine:
                     getattr(self, fn), args, cdir,
                     self._aot_fast_key(name),
                     lambda low, name=name: self._aot_hlo_key(name, low),
-                    progress, name,
+                    progress, name, devs,
                 ),
             )
         return self
@@ -1206,14 +1207,19 @@ class DistCountEngine:
         )
 
 
-def _aot_load(path):
+def _aot_load(path, devices=None):
     import pickle
 
     from jax.experimental.serialize_executable import deserialize_and_load
 
     with open(path, "rb") as f:
         payload, in_tree, out_tree = pickle.load(f)
-    return deserialize_and_load(payload, in_tree, out_tree)
+    # pin execution to the engine's mesh devices: without this the
+    # executable binds to the process default device set (e.g. all 8
+    # virtual CPU devices) and rejects arrays on a 1-device mesh
+    return deserialize_and_load(
+        payload, in_tree, out_tree, execution_devices=devices
+    )
 
 
 def _atomic_write(path, write_fn):
@@ -1226,7 +1232,7 @@ def _atomic_write(path, write_fn):
 
 
 def _aot_get(jit_fn, args, cdir, fast_key, hlo_key_fn, progress=None,
-             name=""):
+             name="", devices=None):
     """Resolve a jitted program to a compiled executable through the
     two-level AOT cache.
 
@@ -1248,7 +1254,7 @@ def _aot_get(jit_fn, args, cdir, fast_key, hlo_key_fn, progress=None,
                 target = os.path.join(
                     cdir, os.path.basename(f.read().strip())
                 )
-            ex = _aot_load(target)
+            ex = _aot_load(target, devices)
             if progress:
                 progress(
                     f"loaded {name} from AOT cache in "
@@ -1257,14 +1263,22 @@ def _aot_get(jit_fn, args, cdir, fast_key, hlo_key_fn, progress=None,
             return ex
         except Exception:
             pass
-    lowered = jit_fn.lower(*args)
+    # location-free lowering: Mosaic (Pallas) payloads embed trace-time
+    # source locations, so without this a pure line shift in any traced
+    # file changes the StableHLO byte-for-byte and defeats the HLO-dedup
+    # level (measured: one-byte payload diffs -> ~3-5 min recompiles per
+    # engine shape after comment-only edits)
+    from jax._src.config import traceback_in_locations_limit
+
+    with traceback_in_locations_limit(0):
+        lowered = jit_fn.lower(*args)
     path = (
         os.path.join(cdir, f"{hlo_key_fn(lowered)}.aotx") if cdir else None
     )
     compiled = None
     if path and os.path.exists(path):
         try:
-            compiled = _aot_load(path)
+            compiled = _aot_load(path, devices)
             if progress:
                 progress(
                     f"loaded {name} via HLO key in "
@@ -1306,7 +1320,7 @@ _LIVE_PAD = 1 << 16  # live-prefix rounding: bounds chunker recompiles
 
 @functools.lru_cache(maxsize=32)
 def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int,
-                    cdir: str | None = None):
+                    cdir: str | None = None, devices: tuple | None = None):
     """Jitted device program: slice the live prefix of the tables and
     emit it as 2*T equal flat chunks (T per array), so the host can pull
     the chunks over parallel D2H streams.  One compile per padded m per
@@ -1358,7 +1372,9 @@ def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int,
         jax.ShapeDtypeStruct((WK, n * cap), jnp.uint32),
         jax.ShapeDtypeStruct((n * cap,), jnp.int32),
     )
-    return _aot_get(prep, avals, cdir, fast_key, hlo_key, None, "chunker")
+    return _aot_get(
+        prep, avals, cdir, fast_key, hlo_key, None, "chunker", devices
+    )
 
 
 def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan, live_fn=None,
@@ -1387,7 +1403,8 @@ def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan, live_fn=None,
         )
     m = max(int(live.max()) if live.size else 0, 1)
     m = min(-(-m // _LIVE_PAD) * _LIVE_PAD, capb)
-    prep = _prefix_chunker(WK, n, S, capb, m, _D2H_STREAMS, cdir)
+    devs = tuple(sorted(tab_c.devices(), key=lambda d: d.id)) if cdir else None
+    prep = _prefix_chunker(WK, n, S, capb, m, _D2H_STREAMS, cdir, devs)
     chunks = prep(tab_p, tab_c)
     from concurrent.futures import ThreadPoolExecutor
 
