@@ -650,100 +650,30 @@ class DistCountEngine:
             )
         )
 
-    def _aot_env_cfg(self) -> dict:
-        import jaxlib
-
-        return {
-            "jax": jax.__version__,
-            "jaxlib": getattr(jaxlib, "__version__", "?"),
-            "device": self.mesh.devices.flat[0].device_kind,
-            "n": self.n,
-        }
-
-    def _aot_fast_key(self, name: str) -> str:
-        """FAST cache key: source files + every knob that shapes the
-        program.  Computable without tracing — a hit loads the
-        executable with no lowering at all (tracing the big scan program
-        costs minutes on this host, so the warm path must avoid it)."""
-        import hashlib
-        import json
-        import os as _os
-
-        src_h = hashlib.sha256()
-        base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        for rel in (
-            "dist/engine.py",
-            "kmer/device.py",
-            "kmer/pallas_kernels.py",
-            "kmer/minimizer.py",
-        ):
-            try:
-                with open(_os.path.join(base, rel), "rb") as f:
-                    src_h.update(f.read())
-            except OSError:
-                pass
-        cfg = {
-            "src": src_h.hexdigest()[:16],
-            "name": name,
-            "k": self.k,
-            "WK": self.WK,
-            "plan": [
-                self.plan.rows_per_chip, self.plan.nw, self.plan.send_cap,
-                self.plan.buf_batches, self.plan.buf_cap,
-                self.plan.table_cap, self.plan.S,
-            ],
-            "row_len": self.row_len,
-            "n_passes": self.n_passes,
-            "per_bank": self.per_bank,
-            "routing": self.routing,
-            "mlen": self.minimizer_size,
-            "max_span": self.max_span,
-            "repart": (
-                None if self.repartition is None
-                else hashlib.sha256(
-                    np.ascontiguousarray(self.repartition)
-                ).hexdigest()[:16]
-            ),
-            "pallas": self.use_pallas,
-            "nb_bins": self.nb_bins,
-            **self._aot_env_cfg(),
-        }
-        return hashlib.sha256(
-            json.dumps(cfg, sort_keys=True).encode()
-        ).hexdigest()[:32]
-
-    def _aot_hlo_key(self, name: str, lowered) -> str:
-        """CANONICAL cache key: sha256 of the lowered StableHLO plus the
-        toolchain/device.  Survives source edits that do not change the
-        compiled program (verified byte-identical across processes); the
-        fast key stores a POINTER to this entry, so a source edit costs
-        one re-lowering, not a ~20 min recompile."""
-        import hashlib
-        import json
-
-        cfg = {
-            "hlo": hashlib.sha256(lowered.as_text().encode()).hexdigest(),
-            "name": name,
-            **self._aot_env_cfg(),
-        }
-        return hashlib.sha256(
-            json.dumps(cfg, sort_keys=True).encode()
-        ).hexdigest()[:32]
-
     def compile(self, progress=None, cache_dir: str | None = None
                 ) -> "DistCountEngine":
         """Ahead-of-time compile the pass programs (step, hist) and swap
         the jit wrappers for the compiled executables.
 
         jax's jit dispatch cache is not populated by .lower().compile(),
-        so the compiled objects replace the wrappers directly.  Compile
-        times for the big sort programs run to minutes via the remote
-        TPU compile service and the jax persistent cache does NOT cover
-        them, so compiled executables are serialized to a cross-process
-        cache (jax.experimental.serialize_executable) keyed by the full
-        program shape — a warm CLI start skips the multi-minute compile.
-        Set DSK_TPU_AOT_CACHE=0 to disable."""
-        import os
+        so the compiled objects replace the wrappers directly.  Warm
+        starts are served by jax's PERSISTENT COMPILATION CACHE (enabled
+        here): the big fused step program costs minutes on the remote
+        TPU compile service cold, ~1 s from the cache, and the restored
+        executable first-executes fast (~0.5 s measured).
+
+        History (round 2): an earlier design cached SERIALIZED
+        executables (jax.experimental.serialize_executable, a 114 MB
+        payload per program).  On the axon remote-compile backend that
+        is a trap: deserialize_and_load returns in <1 s, but the FIRST
+        EXECUTION then pays a server-side rebuild measured at 216-244 s
+        — the same cost as the compile it claimed to skip, silently
+        moved into the first step dispatch of the stream.  The
+        persistent cache (zstd-compressed, ~7 MB/program) restores
+        through the normal compile path without that penalty, so the
+        whole two-level executable cache was deleted in its favor.
+        Set DSK_TPU_AOT_CACHE=0 to compile uncached."""
+        import time as _time
 
         import jax.numpy as _jnp
 
@@ -757,19 +687,7 @@ class DistCountEngine:
         ov = jax.ShapeDtypeStruct((plan.n,), _jnp.int32)
         sc = jax.ShapeDtypeStruct((), _jnp.int32)
 
-        env = os.environ.get("DSK_TPU_AOT_CACHE", "")
-        if env == "0":
-            cdir = None
-        else:
-            cdir = cache_dir or env or os.path.join(
-                os.path.expanduser("~"), ".cache", "dsk_tpu", "aot"
-            )
-        if cdir and not self.multi_process:
-            os.makedirs(cdir, exist_ok=True)
-        else:
-            cdir = None  # multi-process executables are per-topology
-
-        self._aot_cdir = cdir
+        _enable_persistent_cache(cache_dir)
         programs = [
             ("step", "_step", (bg, bi, tp, tc, ov, ov, sc)),
             ("hist", "_hist", (tc,)),
@@ -778,17 +696,19 @@ class DistCountEngine:
             # live-prefix helper for the gather path (single-chip only:
             # AOT avals carry no sharding, fine when nothing is sharded)
             programs.append(("live", "_live", (tc,)))
-        devs = tuple(self.mesh.devices.flat)
         for name, fn, args in programs:
-            setattr(
-                self, fn,
-                _aot_get(
-                    getattr(self, fn), args, cdir,
-                    self._aot_fast_key(name),
-                    lambda low, name=name: self._aot_hlo_key(name, low),
-                    progress, name, devs,
-                ),
-            )
+            t0 = _time.perf_counter()
+            # location-free lowering: without it a pure line shift in any
+            # traced file changes the StableHLO (Mosaic payloads embed
+            # trace-time source locations) and defeats the persistent
+            # cache's content key
+            with _locfree():
+                compiled = getattr(self, fn).lower(*args).compile()
+            setattr(self, fn, compiled)
+            if progress:
+                progress(
+                    f"compiled {name} in {_time.perf_counter() - t0:.1f}s"
+                )
         return self
 
     def _init_state(self):
@@ -1129,7 +1049,7 @@ class DistCountEngine:
         tp, tc = _live_prefix(
             tab_p, tab_c, W, plan,
             getattr(self, "_live", None) if single else None,
-            getattr(self, "_aot_cdir", None) if single else None,
+            aot=single,
         )
         parts_w, parts_c, sizes = [], [], []
         for p in range(plan.n):
@@ -1186,7 +1106,7 @@ class DistCountEngine:
         tp, tc = _live_prefix(
             tab_p, tab_c, WK, plan,
             getattr(self, "_live", None) if single else None,
-            getattr(self, "_aot_cdir", None) if single else None,
+            aot=single,
         )
         parts_k, parts_c, parts_b, sizes = [], [], [], []
         for p in range(plan.n):
@@ -1207,111 +1127,48 @@ class DistCountEngine:
         )
 
 
-def _aot_load(path, devices=None):
-    import pickle
-
-    from jax.experimental.serialize_executable import deserialize_and_load
-
-    with open(path, "rb") as f:
-        payload, in_tree, out_tree = pickle.load(f)
-    # pin execution to the engine's mesh devices: without this the
-    # executable binds to the process default device set (e.g. all 8
-    # virtual CPU devices) and rejects arrays on a 1-device mesh
-    return deserialize_and_load(
-        payload, in_tree, out_tree, execution_devices=devices
-    )
-
-
-def _atomic_write(path, write_fn):
-    import os
-
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "wb") as f:
-        write_fn(f)
-    os.replace(tmp, path)
-
-
-def _aot_get(jit_fn, args, cdir, fast_key, hlo_key_fn, progress=None,
-             name="", devices=None):
-    """Resolve a jitted program to a compiled executable through the
-    two-level AOT cache.
-
-    Level 1 (FAST): `{fast_key}.ptr` names the canonical entry and is
-    computable without tracing — a hit loads the executable with no
-    lowering at all (tracing the big scan program costs minutes here).
-    Level 2 (CANONICAL): `{hlo_key}.aotx` keyed by the lowered StableHLO,
-    so a source edit that leaves the program unchanged re-links the
-    pointer instead of recompiling.  `cdir=None` compiles uncached."""
-    import os
-    import pickle
-    import time as _time
-
-    t0 = _time.perf_counter()
-    fast_path = os.path.join(cdir, f"{fast_key}.ptr") if cdir else None
-    if fast_path and os.path.exists(fast_path):
-        try:
-            with open(fast_path) as f:
-                target = os.path.join(
-                    cdir, os.path.basename(f.read().strip())
-                )
-            ex = _aot_load(target, devices)
-            if progress:
-                progress(
-                    f"loaded {name} from AOT cache in "
-                    f"{_time.perf_counter() - t0:.1f}s"
-                )
-            return ex
-        except Exception:
-            pass
-    # location-free lowering: Mosaic (Pallas) payloads embed trace-time
-    # source locations, so without this a pure line shift in any traced
-    # file changes the StableHLO byte-for-byte and defeats the HLO-dedup
-    # level (measured: one-byte payload diffs -> ~3-5 min recompiles per
-    # engine shape after comment-only edits)
+def _locfree():
+    """Context: lower without embedding source locations.  Mosaic
+    (Pallas) payloads otherwise carry trace-time file:line, so a pure
+    line shift in any traced file changes the StableHLO byte-for-byte
+    and defeats the persistent cache's content key (measured: one-byte
+    payload diffs -> ~3-5 min recompiles after comment-only edits)."""
     from jax._src.config import traceback_in_locations_limit
 
-    with traceback_in_locations_limit(0):
-        lowered = jit_fn.lower(*args)
-    path = (
-        os.path.join(cdir, f"{hlo_key_fn(lowered)}.aotx") if cdir else None
-    )
-    compiled = None
-    if path and os.path.exists(path):
-        try:
-            compiled = _aot_load(path, devices)
-            if progress:
-                progress(
-                    f"loaded {name} via HLO key in "
-                    f"{_time.perf_counter() - t0:.1f}s"
-                )
-        except Exception:
-            compiled = None
-    if compiled is None:
-        compiled = lowered.compile()
-        if path:
-            try:
-                from jax.experimental.serialize_executable import serialize
+    return traceback_in_locations_limit(0)
 
-                payload, in_tree, out_tree = serialize(compiled)
-                _atomic_write(
-                    path,
-                    lambda f: pickle.dump((payload, in_tree, out_tree), f),
-                )
-            except Exception:
-                path = None  # backend without serialization
-        if progress:
-            progress(
-                f"compiled {name} in {_time.perf_counter() - t0:.1f}s"
-            )
-    if fast_path and path:
-        try:
-            _atomic_write(
-                fast_path,
-                lambda f: f.write(os.path.basename(path).encode()),
-            )
-        except OSError:
-            pass
-    return compiled
+
+_PCACHE_ENABLED = False
+
+
+def _enable_persistent_cache(cache_dir: str | None = None) -> None:
+    """Point jax's persistent compilation cache at a dsk_tpu directory.
+
+    Verified to cover the axon remote-compile backend (round 2): a 67 s
+    step compile restores in ~1 s in a fresh process AND first-executes
+    fast — unlike jax.experimental.serialize_executable, whose restored
+    executables pay a ~full recompile at first execution (216-244 s
+    measured; see DistCountEngine.compile).  Respects an existing
+    user-configured cache dir; DSK_TPU_AOT_CACHE=0 disables."""
+    import os
+
+    global _PCACHE_ENABLED
+    env = os.environ.get("DSK_TPU_AOT_CACHE", "")
+    if env == "0":
+        return
+    if _PCACHE_ENABLED and cache_dir is None:
+        return
+    current = jax.config.jax_compilation_cache_dir
+    if cache_dir is None and current:
+        _PCACHE_ENABLED = True
+        return  # user already configured one; leave it alone
+    cdir = cache_dir or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "dsk_tpu", "xla"
+    )
+    os.makedirs(cdir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cdir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _PCACHE_ENABLED = True
 
 
 _D2H_STREAMS = 8
@@ -1320,13 +1177,13 @@ _LIVE_PAD = 1 << 16  # live-prefix rounding: bounds chunker recompiles
 
 @functools.lru_cache(maxsize=32)
 def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int,
-                    cdir: str | None = None, devices: tuple | None = None):
+                    aot: bool = False):
     """Jitted device program: slice the live prefix of the tables and
     emit it as 2*T equal flat chunks (T per array), so the host can pull
-    the chunks over parallel D2H streams.  One compile per padded m per
-    process; with `cdir` the executable is AOT-cached cross-process
-    (first-call dispatch compilation of even this small program costs
-    ~2 s through the remote compile tunnel)."""
+    the chunks over parallel D2H streams.  With `aot` the program is
+    compiled immediately through the location-free path so the
+    persistent cache serves warm starts (even this small program costs
+    ~2 s on a cold remote compile)."""
 
     def chunk(flat):
         total = flat.shape[0]
@@ -1339,46 +1196,19 @@ def _prefix_chunker(WK: int, n: int, S: int, capb: int, m: int, T: int,
         tc = tab_c.reshape(n, S, capb)[:, :, :m].reshape(-1)
         return chunk(tp) + chunk(tc)
 
-    if cdir is None:
+    if not aot:
         return prep
-
-    import hashlib
-    import json
-
-    import jaxlib
-
-    env = {
-        "jax": jax.__version__,
-        "jaxlib": getattr(jaxlib, "__version__", "?"),
-        "device": jax.devices()[0].device_kind,
-    }
-    cfg = {"chunker": [WK, n, S, capb, m, T], **env}
-    fast_key = hashlib.sha256(
-        json.dumps(cfg, sort_keys=True).encode()
-    ).hexdigest()[:32]
-
-    def hlo_key(lowered):
-        hcfg = {
-            "hlo": hashlib.sha256(lowered.as_text().encode()).hexdigest(),
-            "name": "chunker",
-            **env,
-        }
-        return hashlib.sha256(
-            json.dumps(hcfg, sort_keys=True).encode()
-        ).hexdigest()[:32]
-
     cap = S * capb
     avals = (
         jax.ShapeDtypeStruct((WK, n * cap), jnp.uint32),
         jax.ShapeDtypeStruct((n * cap,), jnp.int32),
     )
-    return _aot_get(
-        prep, avals, cdir, fast_key, hlo_key, None, "chunker", devices
-    )
+    with _locfree():
+        return prep.lower(*avals).compile()
 
 
 def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan, live_fn=None,
-                 cdir: str | None = None):
+                 aot: bool = False):
     """Download only the live prefix of each chip's table, over parallel
     D2H streams.
 
@@ -1403,8 +1233,7 @@ def _live_prefix(tab_p, tab_c, WK: int, plan: _Plan, live_fn=None,
         )
     m = max(int(live.max()) if live.size else 0, 1)
     m = min(-(-m // _LIVE_PAD) * _LIVE_PAD, capb)
-    devs = tuple(sorted(tab_c.devices(), key=lambda d: d.id)) if cdir else None
-    prep = _prefix_chunker(WK, n, S, capb, m, _D2H_STREAMS, cdir, devs)
+    prep = _prefix_chunker(WK, n, S, capb, m, _D2H_STREAMS, aot)
     chunks = prep(tab_p, tab_c)
     from concurrent.futures import ThreadPoolExecutor
 

@@ -28,10 +28,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dsk_tpu.kmer.codec import words_per_kmer
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar ON PURPOSE: a module-level jnp.uint32 is an EAGER array on
+# the default device, and every program that closes over it embeds a
+# device constant whose host read (`._value`) is a blocking round-trip
+# through the axon tunnel at lowering time — measured 9-80 s per lower()
+# under server contention.  np.uint32 lowers to a pure host-side literal.
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def kmer_hash(words: jax.Array) -> jax.Array:

@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MINIMIZER_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy ON PURPOSE (see kmer/device.py SENTINEL): an eager jnp scalar
+# becomes a device constant whose lowering blocks on a tunnel round-trip
+MINIMIZER_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def mmer_codes(batch: jax.Array, m: int) -> tuple[jax.Array, jax.Array]:
