@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "(auto-doubled on routing overflow)")
     opt.add_argument("-max-retries", dest="max_retries", type=int, default=3,
                      help="auto re-plan attempts on capacity overflow")
+    opt.add_argument("-flush-buckets", dest="flush_buckets", type=int,
+                     default=1,
+                     help=">1: split the key space into S hash buckets and "
+                          "flush with batched per-bucket sorts (DSK's "
+                          "per-partition sort analog); 1 = flat merge")
     opt.add_argument("-verbose", type=int, default=1, help="verbosity level")
     opt.add_argument("-engine", default="auto",
                      choices=["auto", "simple", "dist"],
@@ -119,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         repartition_type=args.repartition_type,
         send_slack=args.send_slack,
         max_retries=args.max_retries,
+        flush_buckets=args.flush_buckets,
     )
     try:
         execute(params)

@@ -103,6 +103,9 @@ class _Plan:
     table_cap: int        # per chip (multiple of S)
     S: int = 1            # key-space buckets per chip (batched flush sorts)
     bucket_cols: int = 0  # buffer columns per (bucket, batch slot)
+    flush_cols: int = 0   # per-bucket width of the flush-time partition
+                          # (bucketize_at="flush": flat buffer, one 1-key
+                          # sort per GROUP instead of per batch)
 
 
 class DistCountEngine:
@@ -131,13 +134,22 @@ class DistCountEngine:
         max_span: int = 32,
         repartition: np.ndarray | None = None,
         flush_buckets: int = 1,
+        bucketize_at: str = "flush",
     ):
         """routing: "hash" (per-kmer hash owners, local dedup before the
         all_to_all) or "superkmer" (KMC3-style: consecutive windows
         sharing a minimizer travel as ONE packed-bases record, cutting
         ICI bytes ~(k-m)/2-fold; owner = hash(minimizer) % n or the
         frequency-balanced repartition table — reference CHANGELOG.md:13,
-        SURVEY.md C6).  Single-chip meshes ignore routing (raw append)."""
+        SURVEY.md C6).  Single-chip meshes ignore routing (raw append).
+
+        bucketize_at (only used when flush_buckets > 1): "flush" keeps
+        the append buffer FLAT and partitions it into the S key-space
+        buckets ONCE per flush group (one 1-key sort of the whole
+        buffer), so the per-batch bucketize tax that made the round-2
+        "route"-time variant a net loss is paid G times less often;
+        "route" is that original variant (bucketize every batch during
+        append)."""
         self.k = k
         self.n_passes = n_passes
         self.per_bank = per_bank
@@ -176,23 +188,41 @@ class DistCountEngine:
             recv = self.n * send_cap
         # key-space buckets (flush_buckets > 1): the flush then sorts
         # (S, R) batched rows that fit VMEM instead of one flat lax.sort
-        # — DSK's per-partition sort analog.  MEASURED on v5e (round 2):
-        # the per-batch bucketize tax (a 1-key sort of the whole batch +
-        # S*(WK+1) slice ops) outweighs the batched-sort gain at the
-        # default buffer/table ratio (48.7 vs 64.2 Mbases/s), so the
-        # default stays FLAT (S=1); the bucketized path remains available
-        # for ratios/table sizes where it wins.
+        # — DSK's per-partition sort analog (batched sorts measured 2.6x
+        # cheaper per row on v5e).  Two variants:
+        #   bucketize_at="route": partition every batch during append.
+        #     MEASURED round 2: the per-batch tax (a 1-key sort of the
+        #     whole batch + S*(WK+1) slice ops) outweighs the batched-
+        #     sort gain at the default buffer/table ratio (48.7 vs 64.2
+        #     Mbases/s).
+        #   bucketize_at="flush" (default): keep the buffer flat and
+        #     partition ONCE per flush group — the tax is paid G times
+        #     less often and the persistent table never re-sorts
+        #     globally.
+        if bucketize_at not in ("route", "flush"):
+            raise ValueError(f"unknown bucketize_at {bucketize_at!r}")
         S = 1
         if flush_buckets > 1 and table_cap >= 2048:
             S = min(flush_buckets, table_cap // 256)
             S = 1 << (S.bit_length() - 1)
+        self.bucketize_at = bucketize_at if S > 1 else "route"
+        self.flat_buffer = S == 1 or bucketize_at == "flush"
         table_cap = -(-table_cap // S) * S
         # bucket headroom scales with send_slack so the overflow retry
         # valve (run.py doubles send_slack) also widens buckets
         self.bucket_slack = 1.35 * max(send_slack / 2.5, 1.0)
-        bucket_cols = (
-            recv if S == 1 else int(np.ceil(recv * self.bucket_slack / S))
-        )
+        if self.flat_buffer:
+            bucket_cols = recv
+        else:
+            bucket_cols = int(np.ceil(recv * self.bucket_slack / S))
+        # flush-time partition width per bucket (whole group, skew-averaged
+        # over G batches; rounded to the 128-lane tile)
+        flush_cols = 0
+        if S > 1 and self.flat_buffer:
+            flush_cols = int(
+                np.ceil(buf_batches * recv * self.bucket_slack / S)
+            )
+            flush_cols = -(-flush_cols // 128) * 128
         self.plan = _Plan(
             n=self.n,
             rows_per_chip=self.rows_per_chip,
@@ -201,10 +231,12 @@ class DistCountEngine:
             send_cap=send_cap,
             recv_per_batch=recv,
             buf_batches=buf_batches,
-            buf_cap=S * buf_batches * bucket_cols,
+            buf_cap=(1 if self.flat_buffer else S) * buf_batches
+            * bucket_cols,
             table_cap=table_cap,
             S=S,
             bucket_cols=bucket_cols,
+            flush_cols=flush_cols,
         )
         self.nb_bins = nb_bins
         # multi-process mesh: this host feeds rows only for its own chips
@@ -271,27 +303,19 @@ class DistCountEngine:
         S = plan.S
         C = plan.bucket_cols
         logS = int(np.log2(S)) if S > 1 else 0
+        flat_buffer = self.flat_buffer
 
-        def bucketize_append(flat, weights, buf_p, buf_c, over, slot):
-            """Partition (WK, X) rows into S hash buckets and append each
-            bucket's segment at batch slot `slot` of the (WK, S, G*C)
-            buffer.  One cheap 1-key sort groups rows by bucket; S
+        def partition_by_bucket(flat, weights, cols):
+            """Partition (WK, X) rows into S hash buckets of width
+            `cols`: (WK, S, cols) planes, (S, cols) weights, + overflow.
+
+            One 1-key sort groups rows by bucket key (top logS hash
+            bits; dead rows key S so they sort last and fall off); S
             unrolled dynamic slices move the segments (scatter is ~6x
-            slower on TPU).  Rows beyond a bucket's capacity C are
-            counted into `over` (RoutingOverflow -> retry with more
-            slack).  Bucketized buffers make the flush a BATCHED sort
-            over VMEM-sized rows (sum_by_key_planes_2d)."""
+            slower on TPU).  Rows beyond a bucket's `cols` are counted
+            into the returned overflow (RoutingOverflow -> retry with
+            more slack)."""
             X = flat.shape[1]
-            if S == 1:
-                # flat fast path: contiguous append, no bucket sort
-                off = slot * C
-                buf_p = jax.lax.dynamic_update_slice(
-                    buf_p, flat[:, None, :], (0, 0, off)
-                )
-                buf_c = jax.lax.dynamic_update_slice(
-                    buf_c, weights[None, :], (0, off)
-                )
-                return buf_p, buf_c, over
             h = kmer_hash_planes(tuple(flat[:W]))
             if logS > 0:
                 bk = (h >> jnp.uint32(32 - logS)).astype(jnp.uint32)
@@ -306,14 +330,12 @@ class DistCountEngine:
                 sb, jnp.arange(S + 1, dtype=jnp.uint32)
             ).astype(jnp.int32)
             lens = starts[1:] - starts[:-1]
-            over = over + jnp.sum(
-                jnp.maximum(lens - C, 0)
-            ).astype(jnp.int32)[None]
-            pads = jnp.full((C,), SENTINEL)
-            padw = jnp.zeros((C,), jnp.int32)
+            n_over = jnp.sum(jnp.maximum(lens - cols, 0)).astype(jnp.int32)
+            pads = jnp.full((cols,), SENTINEL)
+            padw = jnp.zeros((cols,), jnp.int32)
             spp = [jnp.concatenate([sp[w], pads]) for w in range(WK)]
             swp = jnp.concatenate([sw, padw])
-            jj = jnp.arange(C, dtype=jnp.int32)
+            jj = jnp.arange(cols, dtype=jnp.int32)
             rows_w = []
             rows_p = []
             for b in range(S):
@@ -321,23 +343,47 @@ class DistCountEngine:
                 mask = jj < lens[b]
                 rows_w.append(
                     jnp.where(
-                        mask, jax.lax.dynamic_slice(swp, (st,), (C,)), 0
+                        mask, jax.lax.dynamic_slice(swp, (st,), (cols,)), 0
                     )
                 )
                 rows_p.append(
                     [
                         jnp.where(
                             mask,
-                            jax.lax.dynamic_slice(spp[w], (st,), (C,)),
+                            jax.lax.dynamic_slice(spp[w], (st,), (cols,)),
                             SENTINEL,
                         )
                         for w in range(WK)
                     ]
                 )
-            block_c = jnp.stack(rows_w)                      # (S, C)
+            block_c = jnp.stack(rows_w)                      # (S, cols)
             block_p = jnp.moveaxis(
                 jnp.stack([jnp.stack(r) for r in rows_p]), 1, 0
-            )                                                # (WK, S, C)
+            )                                                # (WK, S, cols)
+            return block_p, block_c, n_over
+
+        def bucketize_append(flat, weights, buf_p, buf_c, over, slot):
+            """Append one batch's (WK, X) rows at batch slot `slot`.
+
+            Flat buffer (S == 1, or bucketize_at="flush"): contiguous
+            append, no per-batch work — the flush partitions the whole
+            group at once.  Route-bucketized (bucketize_at="route"):
+            partition the batch into the (WK, S, G*C) bucketized buffer
+            here (the round-2 variant; per-batch tax measured a net loss
+            at default shapes, kept for ratios where it wins)."""
+            if flat_buffer:
+                off = slot * C
+                buf_p = jax.lax.dynamic_update_slice(
+                    buf_p, flat[:, None, :], (0, 0, off)
+                )
+                buf_c = jax.lax.dynamic_update_slice(
+                    buf_c, weights[None, :], (0, off)
+                )
+                return buf_p, buf_c, over
+            block_p, block_c, n_over = partition_by_bucket(
+                flat, weights, C
+            )
+            over = over + n_over[None]
             off = slot * C
             buf_p = jax.lax.dynamic_update_slice(
                 buf_p, block_p, (0, 0, off)
@@ -528,15 +574,21 @@ class DistCountEngine:
             flat, weights = maybe_pass_filter(flat, weights, pass_sel)
             return bucketize_append(flat, weights, buf_p, buf_c, over, slot)
 
-        def flush_shard(buf_p, buf_c, tab_p, tab_c, tover):
-            """Per-chip merge: (WK, S, G*C) bucketized buffer + (S, capb)
-            bucketized table -> new table, via one BATCHED sum_by_key over
-            the S independent key-space buckets (each bucket row is
-            VMEM-sized — the per-partition sort of the reference, C4)."""
+        def flush_shard(buf_p, buf_c, tab_p, tab_c, over, tover):
+            """Per-chip merge of the group buffer into the persistent
+            table (the per-partition sort of the reference, C4).
+
+            S == 1: one flat 1D sum_by_key over buffer + table.  (A
+            (1, R) "batched" lax.sort hits a much slower XLA variant
+            than the plain 1D sort — measured 6x on v5e — so the flat
+            path keeps the 1D kernel.)
+            S > 1, flat buffer (bucketize_at="flush"): partition the
+            whole group's rows into S key-space buckets with ONE 1-key
+            sort, then a BATCHED sum_by_key over (S, flush_cols + capb)
+            rows merges each bucket with the matching bucket of the
+            table — the table never re-sorts as one flat array.
+            S > 1, route-bucketized: buffer arrives pre-bucketized."""
             if S == 1:
-                # flat path: lax.sort over a (1, R) "batch" hits a much
-                # slower XLA sort variant than the plain 1D sort
-                # (measured 6x on v5e) — keep the 1D kernel
                 planes = tuple(
                     jnp.concatenate([buf_p[w, 0], tab_p[w]])
                     for w in range(WK)
@@ -550,15 +602,23 @@ class DistCountEngine:
                     [u[: plan.table_cap] for u in uniq], axis=0
                 )
                 new_c = counts[: plan.table_cap]
-                return buf_p, buf_c, new_p, new_c, tover
+                return buf_p, buf_c, new_p, new_c, over, tover
             capb = plan.table_cap // S
             tp3 = tab_p.reshape(WK, S, capb)
             tc2 = tab_c.reshape(S, capb)
+            if flat_buffer:
+                bb_p, bb_c, n_over = partition_by_bucket(
+                    buf_p.reshape(WK, -1), buf_c.reshape(-1),
+                    plan.flush_cols,
+                )
+                over = over + n_over[None]
+            else:
+                bb_p, bb_c = buf_p, buf_c
             planes = tuple(
-                jnp.concatenate([buf_p[w], tp3[w]], axis=1)
+                jnp.concatenate([bb_p[w], tp3[w]], axis=1)
                 for w in range(WK)
             )
-            weights = jnp.concatenate([buf_c, tc2], axis=1)
+            weights = jnp.concatenate([bb_c, tc2], axis=1)
             uniq, counts, n_uniq = sum_by_key_planes_2d(planes, weights)
             tover = tover + jnp.sum(
                 (n_uniq > capb).astype(jnp.int32)
@@ -567,7 +627,7 @@ class DistCountEngine:
                 [u[:, :capb] for u in uniq], axis=0
             ).reshape(WK, plan.table_cap)
             new_c = counts[:, :capb].reshape(plan.table_cap)
-            return buf_p, buf_c, new_p, new_c, tover
+            return buf_p, buf_c, new_p, new_c, over, tover
 
         def hist_shard(tab_c):
             # int32 bins on device (TPU has no native int64); widened on host
@@ -602,10 +662,11 @@ class DistCountEngine:
 
             batches: (G, rows_per_chip, L) uint8; bids: (G, rows_per_chip).
             """
+            Sb = 1 if flat_buffer else S
             buf_p0 = jnp.full(
-                (WK, S, plan.buf_batches * C), SENTINEL
+                (WK, Sb, plan.buf_batches * C), SENTINEL
             )
-            buf_c0 = jnp.zeros((S, plan.buf_batches * C), jnp.int32)
+            buf_c0 = jnp.zeros((Sb, plan.buf_batches * C), jnp.int32)
 
             def body(carry, xs):
                 bp, bc, ov = carry
@@ -620,8 +681,8 @@ class DistCountEngine:
                 (buf_p0, buf_c0, over),
                 (batches, bids, jnp.arange(G, dtype=jnp.int32)),
             )
-            _, _, tab_p, tab_c, tover = flush_shard(
-                buf_p, buf_c, tab_p, tab_c, tover
+            _, _, tab_p, tab_c, over, tover = flush_shard(
+                buf_p, buf_c, tab_p, tab_c, over, tover
             )
             return tab_p, tab_c, over, tover
 

@@ -57,6 +57,8 @@ class RunParams:
     repartition_type: int = 0           # 1 = compute + store repartition stats
     send_slack: float = 2.5  # all_to_all per-destination capacity headroom
     max_retries: int = 3     # auto re-plan attempts on capacity overflow
+    flush_buckets: int = 1   # >1: S key-space buckets, batched flush sorts
+                             # (bucketize at flush; 1 = flat lax.sort merge)
 
     def out_prefix(self) -> str:
         if self.out:
@@ -148,6 +150,7 @@ def _select_engine(
             routing=routing,
             minimizer_size=params.minimizer_size,
             repartition=repartition,
+            flush_buckets=params.flush_buckets,
         )
         engine.compile(progress=lambda m: progress.log(f"[dsk_tpu] {m}", 2))
         return engine
@@ -266,10 +269,16 @@ def execute(params: RunParams) -> RunOutput:
     n_passes = plan.n_passes
     attempt = 0
     while True:
-        engine = _select_engine(
-            params, plan, need_per_bank, progress, send_slack=send_slack,
-            routing=routing, repartition=repartition,
-        )
+        # compile timed as its own phase: warm starts restore from the
+        # persistent compilation cache in ~1 s, cold remote compiles run
+        # to minutes — keeping it out of "count" keeps that phase an
+        # honest streaming-throughput number
+        with timers.phase("compile"):
+            engine = _select_engine(
+                params, plan, need_per_bank, progress,
+                send_slack=send_slack,
+                routing=routing, repartition=repartition,
+            )
         ckpt = None
         done_passes = None
         on_pass = None

@@ -110,19 +110,23 @@ def test_dist_per_bank_multipass(data_dir):
     assert ga == gb
 
 
-def test_bucketized_flush_matches_oracle(data_dir):
-    """flush_buckets > 1: batched per-bucket flush sorts (kept available
-    for buffer/table ratios where they win; measured slower at bench
-    defaults on v5e, see engine docstring)."""
+@pytest.mark.parametrize("where", ["flush", "route"])
+def test_bucketized_flush_matches_oracle(data_dir, where):
+    """flush_buckets > 1 in both variants: bucketize once per group at
+    flush time (flat buffer + one 1-key partition sort, the default) or
+    per batch at route/append time (the round-2 original)."""
     from dsk_tpu import oracle
     from dsk_tpu.kmer import codec
 
     uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
     eng = DistCountEngine(
         27, batch_rows=256, row_len=128, table_cap=1 << 15,
-        flush_buckets=32,
+        flush_buckets=32, bucketize_at=where,
     )
     assert eng.plan.S > 1
+    assert eng.flat_buffer == (where == "flush")
+    if where == "flush":
+        assert eng.plan.flush_cols % 128 == 0 and eng.plan.flush_cols > 0
     res = eng.count(uri)
     want = oracle.count_bank(uri, 27)
     got = {
@@ -130,3 +134,32 @@ def test_bucketized_flush_matches_oracle(data_dir):
         for r, c in zip(res.kmers, res.counts)
     }
     assert got == want
+
+
+@pytest.mark.parametrize("where", ["flush", "route"])
+def test_bucketized_multichip_per_bank(data_dir, where):
+    """Bucketized flush composes with the 8-chip mesh, multi-pass and
+    per-bank mode (bank id rides as an extra key word)."""
+    from dsk_tpu import oracle
+    from dsk_tpu.kmer import codec
+
+    files = ",".join(
+        [str(data_dir / "c1.fasta.gz"), str(data_dir / "c2.fasta.gz")]
+    )
+    eng = DistCountEngine(
+        27, batch_rows=256, row_len=128, table_cap=1 << 14,
+        flush_buckets=16, bucketize_at=where, per_bank=True, n_passes=2,
+    )
+    assert eng.plan.S > 1
+    res = eng.count(files, per_bank=True)
+    want = oracle.count_bank_per_bank(files, 27)
+    got = {
+        codec.words_to_value(r): int(c)
+        for r, c in zip(res.kmers, res.counts)
+    }
+    assert got == {kk: int(v.sum()) for kk, v in want.items()}
+    gotb = {
+        codec.words_to_value(r): tuple(int(x) for x in v)
+        for r, v in zip(res.kmers, res.bank_counts)
+    }
+    assert gotb == {kk: tuple(int(x) for x in v) for kk, v in want.items()}
