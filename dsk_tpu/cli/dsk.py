@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help=">1: split the key space into S hash buckets and "
                           "flush with batched per-bucket sorts (DSK's "
                           "per-partition sort analog); 1 = flat merge")
+    opt.add_argument("-trace-dir", dest="trace_dir", default=None,
+                     help="write a jax.profiler (xprof) device trace of "
+                          "the count phase to this directory")
     opt.add_argument("-verbose", type=int, default=1, help="verbosity level")
     opt.add_argument("-engine", default="auto",
                      choices=["auto", "simple", "dist"],
@@ -125,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
         send_slack=args.send_slack,
         max_retries=args.max_retries,
         flush_buckets=args.flush_buckets,
+        trace_dir=args.trace_dir,
     )
     try:
         execute(params)

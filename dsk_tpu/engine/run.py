@@ -59,6 +59,8 @@ class RunParams:
     max_retries: int = 3     # auto re-plan attempts on capacity overflow
     flush_buckets: int = 1   # >1: S key-space buckets, batched flush sorts
                              # (bucketize at flush; 1 = flat lax.sort merge)
+    trace_dir: str | None = None  # write a jax.profiler (xprof) device
+                                  # trace of the count phase here
 
     def out_prefix(self) -> str:
         if self.out:
@@ -314,7 +316,23 @@ def execute(params: RunParams) -> RunOutput:
             count_kwargs["progress_cb"] = batch_progress
         try:
             with timers.phase("count"):
-                result = engine.count(bank, **count_kwargs)
+                if params.trace_dir:
+                    # device-side tracing (SURVEY.md 5.1): an xprof trace
+                    # of the streaming count, viewable in tensorboard /
+                    # xprof.  Best-effort: some PJRT tunnels cannot
+                    # profile the device side; the run must not fail.
+                    import contextlib
+
+                    import jax as _jax
+
+                    try:
+                        ctx = _jax.profiler.trace(params.trace_dir)
+                    except Exception:
+                        ctx = contextlib.nullcontext()
+                    with ctx:
+                        result = engine.count(bank, **count_kwargs)
+                else:
+                    result = engine.count(bank, **count_kwargs)
             break
         except RoutingOverflow as e:
             attempt += 1

@@ -92,3 +92,26 @@ def test_progress_verbosity(capsys):
     p.log("hidden", 2)
     assert "visible" in buf.getvalue()
     assert "hidden" not in buf.getvalue()
+
+
+def test_trace_dir_writes_device_trace(tmp_path, data_dir):
+    """-trace-dir captures a jax.profiler (xprof) trace of the count
+    phase (SURVEY.md 5.1 device-side tracing)."""
+    import os
+
+    from dsk_tpu.engine.run import RunParams, execute
+
+    trace = tmp_path / "trace"
+    params = RunParams(
+        file=str(data_dir / "shortread.fasta"),
+        kmer_size=15,
+        abundance_min=1,
+        out=str(tmp_path / "out"),
+        trace_dir=str(trace),
+        verbose=0,
+    )
+    execute(params)
+    files = [
+        os.path.join(r, f) for r, _d, fs in os.walk(trace) for f in fs
+    ]
+    assert files, "no trace files written"
