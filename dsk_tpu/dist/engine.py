@@ -790,8 +790,12 @@ class DistCountEngine:
 
                 return jax.make_array_from_callback(shape, sharding, cb)
         else:
+            # host numpy + one H2D put: an eager jnp.full here would
+            # dispatch a remote device program per array (a ~2 s compile
+            # through the tunnel the first time, plus a device->device
+            # move for the re-sharding) — H2D runs at ~900 MB/s instead
             def full(shape, sharding, value, dtype):
-                return jax.device_put(jnp.full(shape, value, dtype), sharding)
+                return jax.device_put(np.full(shape, value, dtype), sharding)
 
         tab_p = full((W, plan.n * plan.table_cap), sh_p, SENTINEL, np.uint32)
         tab_c = full((plan.n * plan.table_cap,), sh_b, 0, np.int32)
