@@ -67,6 +67,24 @@ def test_dist_engine_matches_oracle(big_fasta, k):
     assert got == want
 
 
+@pytest.mark.parametrize("k", [96])
+def test_dist_engine_bucketized_bigk(big_fasta, k):
+    """W=6 word planes through the bucketized flush (partition hash over
+    all kmer words; per-bucket batched sorts with 7 operands)."""
+    want = oracle.count_bank(big_fasta, k)
+    eng = DistCountEngine(
+        k, batch_rows=256, row_len=320, table_cap=1 << 15,
+        flush_buckets=16,
+    )
+    assert eng.plan.S > 1
+    res = eng.count(big_fasta)
+    got = {
+        codec.words_to_value(r): int(c)
+        for r, c in zip(res.kmers, res.counts)
+    }
+    assert got == want
+
+
 def test_planner_bigk_sampling(big_fasta):
     plan = plan_resources(big_fasta, 96, max_memory_mb=1000)
     # ~300 reads x ~200 windows, high distinctness: the sampled estimate
