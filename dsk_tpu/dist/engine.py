@@ -978,11 +978,37 @@ class DistCountEngine:
 
         import time as _time
 
+        # sub-phase attribution (cheap perf_counter pairs): t_gen is the
+        # reader+stack time and t_put the H2D time, both ON the prefetch
+        # thread; t_feed is how long the dispatch loop WAITED for them;
+        # t_drain is the final sync where all queued device work lands.
+        # Overlap means t_feed << t_gen+t_put when the device is the
+        # bottleneck, and t_drain ~ 0 when the host is.
+        sub = {"t_gen": 0.0, "t_put": 0.0, "t_feed": 0.0, "t_drain": 0.0}
+
+        def timed_puts():
+            it = groups(batches)
+            while True:
+                g0 = _time.perf_counter()
+                nxt = next(it, None)
+                g1 = _time.perf_counter()
+                sub["t_gen"] += g1 - g0
+                if nxt is None:
+                    return
+                out = put(nxt)
+                sub["t_put"] += _time.perf_counter() - g1
+                yield out
+
         t0 = _time.perf_counter()
         n_groups = 0
-        for codes_dev, bids_dev, bb, rr in prefetch(
-            (put(g) for g in groups(batches)), depth=3
-        ):
+        feed = iter(prefetch(timed_puts(), depth=3))
+        while True:
+            f0 = _time.perf_counter()
+            item = next(feed, None)
+            sub["t_feed"] += _time.perf_counter() - f0
+            if item is None:
+                break
+            codes_dev, bids_dev, bb, rr = item
             tab_p, tab_c, over, tover = self._step(
                 codes_dev, bids_dev, tab_p, tab_c, over, tover,
                 jnp.int32(pass_id),
@@ -997,7 +1023,9 @@ class DistCountEngine:
             # sync, so amortize it)
             if n_groups % 8 == 0:
                 self._check_overflow(over, tover)
+        d0 = _time.perf_counter()
         self._check_overflow(over, tover)  # final host sync: device drained
+        sub["t_drain"] = _time.perf_counter() - d0
 
         info = {
             "n_bases": n_bases,
@@ -1005,6 +1033,7 @@ class DistCountEngine:
             "nb_banks": nb_banks,
             "n_chips": plan.n,
             "t_stream": round(_time.perf_counter() - t0, 3),
+            "t_sub": {k: round(v, 3) for k, v in sub.items()},
         }
         if self.multi_process:
             from jax.experimental import multihost_utils

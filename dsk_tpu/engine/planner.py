@@ -61,10 +61,21 @@ def sample_distinct_estimate(
 
     Plain linear extrapolation of distinct/window from a small sample
     wildly overestimates for high-coverage data (the distinct curve
-    saturates).  Two nested prefixes give the MARGINAL new-kmer rate at
-    the end of the sample; extrapolating with that rate is still an
-    overestimate (the rate keeps decaying) but a far tighter one — the
-    safe direction (extra capacity / passes, never overflow).
+    saturates).  Two estimators run on the nested prefixes and the
+    TIGHTER one wins (the linear-marginal one is an upper bound, so the
+    min stays safe):
+
+    - marginal rate: new-kmer rate at the end of the sample, linearly
+      extrapolated (x1.2).  Still overestimates — for coverage data the
+      rate keeps decaying after the sample — measured ~2x on a 50x
+      synthetic bank, which doubles table_cap and the flush sort.
+    - coverage fit: d(w) = G(1 - exp(-w/G)) + eps*w.  The saturating
+      term is uniform coverage of an underlying genome of G distinct
+      kmers; the linear term is the floor of NOVEL kmers per window
+      (sequencing errors), which never saturates.  Solved for (G, eps)
+      from the two sample points; a 1.15 safety factor covers fit and
+      thinning noise.  Overflowing anyway is recoverable: the engine's
+      typed-overflow auto-retry re-plans with more passes.
 
     Runs on the host CPU backend: planning must never pay TPU (remote)
     compiles before the real engine is even built.
@@ -74,7 +85,43 @@ def sample_distinct_estimate(
         return d2
     marginal = (d2 - d1) / max(s2 - s1, 1)
     est = d2 + marginal * max(0, total_windows - s2) * 1.2
+    fit = _coverage_fit_estimate(s1, d1, s2, d2, total_windows)
+    if fit is not None:
+        est = min(est, fit * 1.15)
     return int(min(max(est, d2), total_windows))
+
+
+def _coverage_fit_estimate(
+    s1: int, d1: int, s2: int, d2: int, total: int
+) -> float | None:
+    """d(total) under d(w) = G(1-exp(-w/G)) + eps*w fitted to
+    (s1, d1), (s2, d2).  None when the points don't constrain the model
+    (degenerate sample, or no G >= d2 fits with eps >= 0)."""
+    if d2 <= 0 or d1 <= 0 or d2 < d1:
+        return None
+
+    def resid(G: float) -> tuple[float, float]:
+        eps = (d2 - G * (1.0 - np.exp(-s2 / G))) / s2
+        return G * (1.0 - np.exp(-s1 / G)) + eps * s1 - d1, eps
+
+    # G sweep: log grid from "everything saturates" to "nothing does".
+    # Two sample points often under-constrain G (in the linear regime
+    # every large G fits equally well but extrapolates differently), so
+    # among all CREDIBLE fits take the LARGEST extrapolation — the safe
+    # direction; the caller still min()s against the marginal-linear
+    # upper bound.
+    grid = np.geomspace(max(d2 / 2.0, 1.0), max(total * 64.0, 2.0), 96)
+    best = None
+    for G in grid:
+        r, eps = resid(float(G))
+        if eps < -0.01 * d2 / s2:  # saturating term overshoots d2
+            continue
+        if abs(r) > 0.02 * d1:  # doesn't pass through the first point
+            continue
+        est = G * (1.0 - np.exp(-total / G)) + max(eps, 0.0) * total
+        if best is None or est > best:
+            best = est
+    return best
 
 
 def _host_distinct_two_point(
@@ -178,6 +225,24 @@ def _host_distinct_two_point(
     return win_half, d_half, win_full, d_full
 
 
+def _round_capacity(x: int) -> int:
+    """Round a slot count up to the {2^n, 3*2^(n-1)} grid (>= 2^16).
+
+    Pure pow2 rounding over-provisions up to 2x — the flush sorts
+    (buffer + table) rows, so table slack is paid on EVERY flush.  The
+    half-step grid caps the waste at 33% while keeping the set of
+    compiled program shapes small (compiles through the axon tunnel run
+    minutes; the persistent cache is per-shape).  Every point is a
+    multiple of 2^15, so bucketized flushes (capb = cap/S) and lane
+    tiling stay exact."""
+    x = max(int(x), 1 << 16)
+    n = int(np.ceil(np.log2(x)))
+    for cand in (3 << (n - 2), 1 << n):
+        if cand >= x:
+            return cand
+    return 1 << (n + 1)  # unreachable (2^n >= x by construction)
+
+
 def plan_resources(
     bank: Bank | str,
     k: int,
@@ -241,7 +306,7 @@ def plan_resources(
         1, -(-per_chip_distinct // int(budget_slots * TABLE_FILL_TARGET))
     )
     per_pass = -(-per_chip_distinct // n_passes)
-    table_cap = 1 << max(16, int(np.ceil(np.log2(per_pass / TABLE_FILL_TARGET + 1))))
+    table_cap = _round_capacity(int(per_pass / TABLE_FILL_TARGET) + 1)
     table_cap = min(table_cap, budget_slots * 2)
     flush_items = min(max(table_cap, 1 << 20), 1 << 23)
     # mesh-engine flush cadence: buffer ~2x the table, so each flush's
