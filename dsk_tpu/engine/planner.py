@@ -15,7 +15,6 @@ for high-coverage data, which errs toward more passes (safe).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -57,13 +56,13 @@ class ResourcePlan:
 def sample_distinct_estimate(
     bank: Bank, k: int, total_windows: int, sample_bases: int = 2 << 20
 ) -> int:
-    """Estimate total distinct kmers from a two-point prefix sample.
+    """Estimate total distinct kmers from a nested-prefix sample profile.
 
     Plain linear extrapolation of distinct/window from a small sample
     wildly overestimates for high-coverage data (the distinct curve
-    saturates).  Two estimators run on the nested prefixes and the
-    TIGHTER one wins (the linear-marginal one is an upper bound, so the
-    min stays safe):
+    saturates).  Two estimators run on the sample and the TIGHTER one
+    wins (the linear-marginal one is an upper bound, so the min stays
+    safe):
 
     - marginal rate: new-kmer rate at the end of the sample, linearly
       extrapolated (x1.2).  Still overestimates — for coverage data the
@@ -72,63 +71,95 @@ def sample_distinct_estimate(
     - coverage fit: d(w) = G(1 - exp(-w/G)) + eps*w.  The saturating
       term is uniform coverage of an underlying genome of G distinct
       kmers; the linear term is the floor of NOVEL kmers per window
-      (sequencing errors), which never saturates.  Solved for (G, eps)
-      from the two sample points; a 1.15 safety factor covers fit and
+      (sequencing errors), which never saturates.  Fitted to THREE
+      nested prefix points (quarter, half, full): two points leave the
+      model under-determined — a (small G, large eps) corner passes
+      through any two points and extrapolates linearly to ~4x over
+      (measured on 20x-coverage 100 bp reads); the quarter point's
+      curvature rejects it.  A 1.15 safety factor covers fit and
       thinning noise.  Overflowing anyway is recoverable: the engine's
       typed-overflow auto-retry re-plans with more passes.
 
     Runs on the host CPU backend: planning must never pay TPU (remote)
     compiles before the real engine is even built.
     """
-    s1, d1, s2, d2 = _host_distinct_two_point(bank, k, sample_bases)
-    if s2 <= s1:  # sample covered the whole input: exact
-        return d2
+    ws, ds = _host_distinct_profile(bank, k, sample_bases)
+    if len(ws) < 2 or ws[-1] <= ws[-2]:  # sample covered everything: exact
+        return ds[-1] if ds else 0
+    s1, d1, s2, d2 = ws[-2], ds[-2], ws[-1], ds[-1]
     marginal = (d2 - d1) / max(s2 - s1, 1)
     est = d2 + marginal * max(0, total_windows - s2) * 1.2
-    fit = _coverage_fit_estimate(s1, d1, s2, d2, total_windows)
+    fit = _coverage_fit_estimate(ws, ds, total_windows)
     if fit is not None:
         est = min(est, fit * 1.15)
     return int(min(max(est, d2), total_windows))
 
 
 def _coverage_fit_estimate(
-    s1: int, d1: int, s2: int, d2: int, total: int
+    ws: list[int], ds: list[int], total: int
 ) -> float | None:
-    """d(total) under d(w) = G(1-exp(-w/G)) + eps*w fitted to
-    (s1, d1), (s2, d2).  None when the points don't constrain the model
-    (degenerate sample, or no G >= d2 fits with eps >= 0)."""
-    if d2 <= 0 or d1 <= 0 or d2 < d1:
+    """d(total) under d(w) = G(1-exp(-w/G)) + eps*w fitted to the
+    nested-prefix points (ws, ds).  None when the points don't constrain
+    the model (degenerate sample, or no G fits with eps >= 0)."""
+    if len(ws) < 2 or ds[-1] <= 0 or min(ds) <= 0:
+        return None
+    w = np.asarray(ws, np.float64)
+    d = np.asarray(ds, np.float64)
+    if np.any(np.diff(d) < 0) or np.any(np.diff(w) <= 0):
         return None
 
-    def resid(G: float) -> tuple[float, float]:
-        eps = (d2 - G * (1.0 - np.exp(-s2 / G))) / s2
-        return G * (1.0 - np.exp(-s1 / G)) + eps * s1 - d1, eps
-
     # G sweep: log grid from "everything saturates" to "nothing does".
-    # Two sample points often under-constrain G (in the linear regime
-    # every large G fits equally well but extrapolates differently), so
-    # among all CREDIBLE fits take the LARGEST extrapolation — the safe
-    # direction; the caller still min()s against the marginal-linear
-    # upper bound.
-    grid = np.geomspace(max(d2 / 2.0, 1.0), max(total * 64.0, 2.0), 96)
-    best = None
-    for G in grid:
-        r, eps = resid(float(G))
-        if eps < -0.01 * d2 / s2:  # saturating term overshoots d2
-            continue
-        if abs(r) > 0.02 * d1:  # doesn't pass through the first point
-            continue
-        est = G * (1.0 - np.exp(-total / G)) + max(eps, 0.0) * total
-        if best is None or est > best:
-            best = est
-    return best
+    # For each G, eps is the least-squares residual slope over ALL
+    # points; a fit is credible only if it passes through EVERY point
+    # within tolerance (with >= 3 points this rejects the small-G/large-
+    # eps corner that any 2 points admit).  Among credible fits take the
+    # LARGEST extrapolation — the safe direction; the caller still
+    # min()s against the marginal-linear upper bound.  Tolerance is
+    # TIERED: thinning noise is ~0.2-0.5%, so when the model genuinely
+    # fits, a 0.5% gate shrinks the credible spread ~25% (measured on
+    # 20x-coverage data: max est 5.35M vs 7.04M at 2%, truth 5.0M); the
+    # looser tier catches model mismatch without losing the bound.
+    grid = np.geomspace(max(d[-1] / 2.0, 1.0), max(total * 64.0, 2.0), 192)
+    rate = d[-1] / w[-1]
+    for tol in (0.005, 0.02):
+        best = None
+        for G in grid:
+            sat = G * (1.0 - np.exp(-w / G))
+            eps = float(np.dot(w, d - sat) / np.dot(w, w))
+            if eps < -0.01 * rate:  # saturating term overshoots the data
+                continue
+            pred = sat + eps * w
+            if np.max(np.abs(pred - d) / d) > tol:
+                continue
+            est = G * (1.0 - np.exp(-total / G)) + max(eps, 0.0) * total
+            if best is None or est > best:
+                best = est
+        if best is not None:
+            return best
+    return None
 
 
 def _host_distinct_two_point(
     bank: Bank, k: int, limit_bases: int
 ) -> tuple[int, int, int, int]:
-    """(windows_half, distinct_half, windows_full, distinct_full) of a bank
-    prefix, host numpy.
+    """Back-compat view of _host_distinct_profile: (windows_half,
+    distinct_half, windows_full, distinct_full)."""
+    ws, ds = _host_distinct_profile(bank, k, limit_bases)
+    if not ws:
+        return 0, 0, 0, 0
+    if len(ws) == 1:
+        return ws[0], ds[0], ws[0], ds[0]
+    return ws[-2], ds[-2], ws[-1], ds[-1]
+
+
+_PROFILE_FRACTIONS = (0.25, 0.5, 1.0)
+
+
+def _host_distinct_profile(
+    bank: Bank, k: int, limit_bases: int
+) -> tuple[list[int], list[int]]:
+    """Nested-prefix profile of a bank sample: (windows, distinct) at the
+    quarter/half/full points of the sampled prefix, host numpy.
 
     All sampled reads are concatenated with a single invalid separator
     (split-at-invalid semantics make windows never cross reads) so the
@@ -146,10 +177,17 @@ def _host_distinct_two_point(
         # the native reader parses ~100x faster than the python path; rows
         # are (k-1)-halo chunks — windows on halos are seen twice, which
         # biases the two-point rate by < overlap fraction (irrelevant for
-        # a capacity estimate)
+        # a capacity estimate).  Row width tracks the mean read length: a
+        # fixed 4096 for 100 bp reads made the flattened sample 41x pad
+        # (measured 100 s of sweep for 11.8M real bases, and the pad-
+        # inflated length mis-sized the thinning factor 512x).
         from dsk_tpu.io.batch import batch_iterator
 
-        for batch in batch_iterator(bank, max(k, 2), 256, 4096):
+        _, mean_len = bank.estimate()
+        want = max(int(mean_len) + 2, k + 1, 128)
+        rl = 1 << int(np.ceil(np.log2(want)))
+        rl = int(min(rl, 4096))
+        for batch in batch_iterator(bank, max(k, 2), 256, rl):
             rows = batch.codes[: batch.n_rows]
             parts.append(
                 np.concatenate(
@@ -169,11 +207,11 @@ def _host_distinct_two_point(
             if seen >= limit_bases:
                 break
     if not parts:
-        return 0, 0, 0, 0
+        return [], []
     total = int(sum(p.shape[0] for p in parts))
     if total < k:
-        return 0, 0, 0, 0
-    half_bound = total // 2
+        return [], []
+    bounds = [int(total * f) for f in _PROFILE_FRACTIONS]
 
     # Sweep PER PART (parts never share windows: each ends in a 0xFF
     # separator) with canonical-invariant 64-bit hash keys: any k in
@@ -183,46 +221,63 @@ def _host_distinct_two_point(
     # Distinct counts use hash THINNING: every distinct key survives
     # keys < 2^64/factor with probability 1/factor independent of its
     # multiplicity, so distinct_total ~ factor * distinct(thinned) —
-    # unbiased, ~1/sqrt(kept) relative error (factor sized for >= 64k
-    # kept keys).  Exact (factor=1) below 4M sample windows, where tests
-    # and tiny inputs live.
+    # unbiased, ~1/sqrt(kept) relative error.  factor is sized from the
+    # REAL sampled bases (`seen`), NOT the flattened part length: rows
+    # are padded to the reader width, and pad once inflated factor 512x
+    # (kept keys dropped to ~1k, the ~3-4% noise tripped the coverage
+    # fit's residual gate, and the planner fell back to the 5x-over
+    # marginal estimate — measured on 100 bp reads).  Target ~2M kept
+    # key OCCURRENCES: <= 16 MB working set, and kept-distinct noise
+    # <= ~0.5% whenever the distinct rate is >= a few percent.  Exact
+    # (factor=1) below 2M sampled bases, where tests and tiny inputs
+    # live.
     factor = 1
-    while factor < 4096 and (total >> 16) > factor * 4:
+    while factor < 4096 and seen > factor * (2 << 20):
         factor *= 2
     thresh = np.uint64((1 << 64) - 1) // np.uint64(factor)
+    nq = len(bounds)
+
     def sweep(part: np.ndarray, off: int):
         keys, okv = codec.hash_canonical_windows(part, k)
-        in_half = np.arange(okv.shape[0], dtype=np.int64) < half_bound - off
+        pos = np.arange(okv.shape[0], dtype=np.int64)
         # window counts stay EXACT (they are the marginal-rate
         # denominators); only the distinct sets are thinned
-        wf = int(okv.sum())
-        wh = int((okv & in_half).sum())
         sel = okv if factor == 1 else okv & (keys <= thresh)
-        return wf, wh, keys[sel], keys[sel & in_half]
+        wins, kept = [], []
+        for b in bounds:
+            inq = pos < b - off
+            wins.append(int((okv & inq).sum()))
+            kept.append(keys[sel & inq])
+        return wins, kept
 
     offsets = np.concatenate(
         [[0], np.cumsum([p.shape[0] for p in parts])]
     )[:-1]
-    todo = [
-        (part, int(off))
+    # SERIAL sweep over the SMALL per-batch parts, on purpose (measured
+    # on this VM class, 12M-base sample, cold process):
+    #   * small parts, serial:        0.46 s   <- this
+    #   * small parts, 4 threads:     5.6 s  (lock churn + cold arenas)
+    #   * 1.9M-row chunks, serial:   18.8 s  (first-touch of each ~10 MB
+    #     temp stalls ~1 ms/page cold; same chunks re-swept: 1.0 s)
+    #   * 1.9M-row chunks, 4 threads: 12.5 s
+    # Small parts keep every doubling-level temp ~2 MB, so the whole
+    # sweep reuses one warmed heap footprint.  See utils.hostmem.
+    results = [
+        sweep(part, int(off))
         for part, off in zip(parts, offsets)
         if part.shape[0] >= k
     ]
-    # numpy ufuncs drop the GIL: fan the sweeps over a small thread pool
-    from concurrent.futures import ThreadPoolExecutor
-
-    n_threads = min(4, max(1, (os.cpu_count() or 1)), len(todo) or 1)
-    with ThreadPoolExecutor(n_threads) as ex:
-        results = list(ex.map(lambda a: sweep(*a), todo))
     if not results:
-        return 0, 0, 0, 0
-    win_full = sum(r[0] for r in results)
-    win_half = sum(r[1] for r in results)
-    kept_full = [r[2] for r in results]
-    kept_half = [r[3] for r in results]
-    d_half = int(np.unique(np.concatenate(kept_half)).shape[0]) * factor
-    d_full = int(np.unique(np.concatenate(kept_full)).shape[0]) * factor
-    return win_half, d_half, win_full, d_full
+        return [], []
+    ws = [sum(r[0][q] for r in results) for q in range(nq)]
+    ds = [
+        int(np.unique(np.concatenate([r[1][q] for r in results])).shape[0])
+        * factor
+        for q in range(nq)
+    ]
+    # drop degenerate leading points (empty quantiles on tiny samples)
+    keep = [q for q in range(nq) if ws[q] > 0]
+    return [ws[q] for q in keep], [ds[q] for q in keep]
 
 
 def _round_capacity(x: int) -> int:
