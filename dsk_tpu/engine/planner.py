@@ -321,9 +321,16 @@ def plan_resources(
     est_bases, mean_len = bank.estimate()
 
     if row_len <= 0:
-        want = int(min(max(mean_len, 1), 1000)) + k
-        row_len = 1 << int(np.ceil(np.log2(max(want, 128))))
-        row_len = int(np.clip(row_len, 128, 1024))
+        # Readers PACK short reads into shared rows (one 0xFF separator
+        # each; io/batch.py), so wide rows win at every read length: the
+        # only per-row waste is the sub-read-length tail.  1024 keeps the
+        # valid-window fraction near its packing ceiling (1 - (k-1)/(len
+        # + 1)) for 100 bp Illumina reads AND bounds halo overhead to
+        # (k-1)/1024 for long reads.  Shrink only when the whole input is
+        # tiny (CPU tests) so batches stay at least a few rows tall.
+        row_len = 1024
+        while row_len > 128 and est_bases < 4 * row_len * 64:
+            row_len //= 2
     if batch_rows <= 0:
         try:
             import jax

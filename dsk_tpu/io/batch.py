@@ -211,6 +211,13 @@ def _units_batch_stream(
         else:
             from dsk_tpu.io.fasta import iter_sequences
 
+            # short reads PACK into shared rows separated by one PAD code
+            # (split-at-invalid keeps windows exact); col is the open-row
+            # cursor.  Packing rules mirror the native parser exactly
+            # (fastx.cpp emit_chunk): continuation chunks of long reads
+            # take full rows, open rows close when the next read doesn't
+            # fit, at batch yields, and at unit end.
+            col = 0
             end = None if unit.end < 0 else unit.end
             for seq in iter_sequences(unit.path, unit.start, end):
                 # stats count ALL parsed input (reads shorter than k
@@ -220,10 +227,14 @@ def _units_batch_stream(
                 if len(seq.data) < k:
                     continue
                 codes = encode_bytes(seq.data)
-                for chunk in chunk_codes(codes, k, row_len):
-                    buf[row, : chunk.shape[0]] = chunk
-                    bids[row] = bank_id
-                    row += 1
+                chunks = chunk_codes(codes, k, row_len)
+                for ci, chunk in enumerate(chunks):
+                    m = chunk.shape[0]
+                    is_final = ci == len(chunks) - 1
+                    if not is_final or (col > 0 and col + 1 + m > row_len):
+                        if col > 0:
+                            row += 1
+                            col = 0
                     if row == batch_rows:
                         yield Batch(buf, bids, row, bases, reads)
                         buf = np.full(
@@ -233,6 +244,27 @@ def _units_batch_stream(
                         row = 0
                         bases = 0
                         reads = 0
+                    at = 0 if col == 0 else col + 1
+                    buf[row, at : at + m] = chunk
+                    bids[row] = bank_id
+                    if is_final:
+                        col = at + m
+                        if col >= row_len:
+                            row += 1
+                            col = 0
+                    else:
+                        row += 1
+                        col = 0
+            if col > 0:  # close the open row at unit end
+                row += 1
+                col = 0
+            if row == batch_rows:
+                yield Batch(buf, bids, row, bases, reads)
+                buf = np.full((batch_rows, row_len), PAD, dtype=np.uint8)
+                bids = np.zeros(batch_rows, dtype=np.int32)
+                row = 0
+                bases = 0
+                reads = 0
     if row > 0:
         yield Batch(buf, bids, row, bases, reads)
 

@@ -63,6 +63,11 @@ struct Handle {
     int cur_len = 0;          // filled codes in cur
     long read_len = 0;        // bases of the current read so far
     long qual_left = 0;       // fastq quality chars still to skip
+    bool pending = false;     // cur holds a COMPLETE read whose emit
+                              // failed on a full batch (FASTQ: the state
+                              // machine advances past the newline, so
+                              // the retry must happen at next-call entry
+                              // or the next read appends onto cur)
     bool fastq = false;
     // io buffer
     uint8_t buf[IOBUF];
@@ -81,29 +86,56 @@ struct Handle {
 
 // emit the current chunk into the batch if it holds >= k bases; carry the
 // (k-1)-halo into the next chunk.  Returns false if the batch is full.
+//
+// Short reads are PACKED: consecutive whole reads share a row separated
+// by one INVALID code (windows never span it — split-at-invalid
+// semantics), so a 100 bp read doesn't waste a 256..1024-wide row.
+// `col` is the open-row cursor; rows close when the next read doesn't
+// fit, at continuation (full-row) chunks, and at the end of every
+// fx_next_batch call (so no cross-call packing state exists and rows
+// never span input units).  Must stay in lockstep with the Python
+// fallback in dsk_tpu/io/batch.py (row-for-row tests).
 struct Batch {
     uint8_t* out;
     int rows, row_len, k;
     int row = 0;
+    int col = 0;  // open-row write cursor (0 = no open row)
 };
+
+inline void close_row(Batch* b) {
+    if (b->col > 0) {
+        b->row++;
+        b->col = 0;
+    }
+}
 
 inline bool emit_chunk(Handle* h, Batch* b, bool final_chunk) {
     if (h->cur_len < b->k) {
         if (final_chunk) h->cur_len = 0;
         return true;  // nothing to emit (short final chunk / short read)
     }
+    int m = h->cur_len;
+    if (!final_chunk) {
+        // continuation chunk of a long read: always a full row
+        close_row(b);
+        if (b->row >= b->rows) return false;  // batch full, keep state
+        std::memcpy(b->out + (size_t)b->row * b->row_len, h->cur, m);
+        b->row++;
+        // carry halo: last k-1 codes start the next chunk
+        std::memmove(h->cur, h->cur + m - (b->k - 1), b->k - 1);
+        h->cur_len = b->k - 1;
+        return true;
+    }
+    // final (or whole-read) chunk: pack after a 1-code separator if it fits
+    if (b->col > 0 && b->col + 1 + m > b->row_len) close_row(b);
     if (b->row >= b->rows) return false;  // batch full, keep state
     uint8_t* dst = b->out + (size_t)b->row * b->row_len;
-    std::memcpy(dst, h->cur, h->cur_len);
-    std::memset(dst + h->cur_len, INVALID, b->row_len - h->cur_len);
-    b->row++;
-    if (final_chunk) {
-        h->cur_len = 0;
-    } else {
-        // carry halo: last k-1 codes start the next chunk
-        std::memmove(h->cur, h->cur + h->cur_len - (b->k - 1), b->k - 1);
-        h->cur_len = b->k - 1;
-    }
+    int at = b->col == 0 ? 0 : b->col + 1;
+    if (b->col == 0) std::memset(dst, INVALID, b->row_len);
+    std::memcpy(dst + at, h->cur, m);
+    b->col = at + m;
+    if (b->col >= b->row_len) close_row(b);
+    h->cur_len = 0;
     return true;
 }
 
@@ -121,6 +153,7 @@ inline bool end_read(Handle* h, Batch* b) {
     if (h->read_len > 0) h->reads++;
     bool ok = emit_chunk(h, b, true);
     h->read_len = 0;
+    if (!ok) h->pending = true;
     return ok;
 }
 
@@ -305,8 +338,13 @@ int fx_next_batch(void* hv, uint8_t* out_codes, int rows, int row_len,
     Batch b{out_codes, rows, row_len, k, 0};
     h->bases = 0;
     h->reads = 0;
+    if (h->pending) {
+        // re-emit the read whose end_read failed on the previous (full)
+        // batch; the parser state already advanced past it
+        if (emit_chunk(h, &b, true)) h->pending = false;
+    }
 
-    while (b.row < rows) {
+    while (b.row < rows && !h->pending) {
         if (h->buf_pos >= h->buf_len && !fill(h)) break;
         // fast interior scan for sequence states
         while (h->buf_pos < h->buf_len && b.row < rows) {
@@ -419,6 +457,7 @@ int fx_next_batch(void* hv, uint8_t* out_codes, int rows, int row_len,
         if (end_read(h, &b)) h->state = S::START;
     }
 done:
+    close_row(&b);  // packing never spans next_batch calls
     *out_bases = h->bases;
     *out_reads = h->reads;
     return b.row;
