@@ -652,16 +652,26 @@ class DistCountEngine:
             route_body = route_shard
         G = plan.buf_batches
 
-        def step_group_shard(batches, bids, tab_p, tab_c, over, tover,
-                             pass_sel):
+        row_len = self.row_len
+
+        def step_group_shard(bwords, bbitmap, bids, tab_p, tab_c, over,
+                             tover, pass_sel):
             """ONE dispatch per flush group: lax.scan of G route steps
             into a program-local buffer, then the flush merge.  The axon
             tunnel charges ~6.5 ms per dispatch (measured round 2), so at
             one dispatch per BATCH the pipeline was dispatch-bound; the
             fused group program pays it once per ~G x m windows.
 
-            batches: (G, rows_per_chip, L) uint8; bids: (G, rows_per_chip).
+            Batches arrive 2-bit PACKED (io/packed.py: 16-base uint32
+            words + 32-base validity bitmap) — 3 bits/base over the
+            host->device link instead of 8 — and are unpacked per scan
+            step so only one batch's byte codes ever materialize in HBM.
+
+            bwords: (G, rows_per_chip, ceil(L/16)) uint32;
+            bbitmap: (G, rows_per_chip, ceil(L/32)) uint32;
+            bids: (G, rows_per_chip).
             """
+            from dsk_tpu.io.packed import unpack_codes_jnp
             Sb = 1 if flat_buffer else S
             buf_p0 = jnp.full(
                 (WK, Sb, plan.buf_batches * C), SENTINEL
@@ -670,7 +680,8 @@ class DistCountEngine:
 
             def body(carry, xs):
                 bp, bc, ov = carry
-                batch, bid, slot = xs
+                words, bitmap, bid, slot = xs
+                batch = unpack_codes_jnp(words, bitmap, row_len)
                 bp, bc, ov = route_body(
                     batch, bid, bp, bc, ov, slot, pass_sel
                 )
@@ -679,7 +690,7 @@ class DistCountEngine:
             (buf_p, buf_c, over), _ = jax.lax.scan(
                 body,
                 (buf_p0, buf_c0, over),
-                (batches, bids, jnp.arange(G, dtype=jnp.int32)),
+                (bwords, bbitmap, bids, jnp.arange(G, dtype=jnp.int32)),
             )
             _, _, tab_p, tab_c, over, tover = flush_shard(
                 buf_p, buf_c, tab_p, tab_c, over, tover
@@ -689,11 +700,11 @@ class DistCountEngine:
         self._step = jax.jit(
             shmap(
                 step_group_shard,
-                in_specs=(P(None, AXIS, None), P(None, AXIS), pp, pb, pb,
-                          pb, pr),
+                in_specs=(P(None, AXIS, None), P(None, AXIS, None),
+                          P(None, AXIS), pp, pb, pb, pb, pr),
                 out_specs=(pp, pb, pb, pb),
             ),
-            donate_argnums=(2, 3, 4, 5),
+            donate_argnums=(3, 4, 5, 6),
         )
         self._hist = jax.jit(
             shmap(hist_shard, in_specs=(pb,), out_specs=pr)
@@ -738,10 +749,14 @@ class DistCountEngine:
 
         import jax.numpy as _jnp
 
+        from dsk_tpu.io.packed import packed_shapes
+
         plan, WK = self.plan, self.WK
         rows = self.rows_per_chip * plan.n
         G = plan.buf_batches
-        bg = jax.ShapeDtypeStruct((G, rows, self.row_len), _jnp.uint8)
+        nw, nb = packed_shapes(self.row_len)
+        bg = jax.ShapeDtypeStruct((G, rows, nw), _jnp.uint32)
+        bm = jax.ShapeDtypeStruct((G, rows, nb), _jnp.uint32)
         bi = jax.ShapeDtypeStruct((G, rows), _jnp.int32)
         tp = jax.ShapeDtypeStruct((WK, plan.n * plan.table_cap), _jnp.uint32)
         tc = jax.ShapeDtypeStruct((plan.n * plan.table_cap,), _jnp.int32)
@@ -750,7 +765,7 @@ class DistCountEngine:
 
         _enable_persistent_cache(cache_dir)
         programs = [
-            ("step", "_step", (bg, bi, tp, tc, ov, ov, sc)),
+            ("step", "_step", (bg, bm, bi, tp, tc, ov, ov, sc)),
             ("hist", "_hist", (tc,)),
         ]
         if self.n == 1 and not self.multi_process:
@@ -921,12 +936,23 @@ class DistCountEngine:
         )
 
         def groups(src):
-            """Stack G batches into one (G, rows, L) group (tail padded)."""
-            from dsk_tpu.io.batch import PAD
+            """Pack + stack G batches into one packed group (tail padded).
 
-            cur_c, cur_b, bb, rr, cnt = [], [], 0, 0, 0
+            Packing (io/packed.py, 3 bits/base) runs HERE on the prefetch
+            thread: the host->device link is the narrow resource (the
+            axon tunnel moves byte codes at ~7-10 MB/s sustained,
+            measured round 2), so wire bytes are cut 2.67x before the
+            transfer, overlapped with device compute."""
+            from dsk_tpu.io.packed import pack_codes, packed_shapes
+
+            nw, nb = packed_shapes(self.row_len)
+            cur_w, cur_m, cur_b, bb, rr, cnt = [], [], [], 0, 0, 0
             for batch in src:
-                cur_c.append(np.ascontiguousarray(batch.codes, np.uint8))
+                words, bitmap = pack_codes(
+                    np.ascontiguousarray(batch.codes, np.uint8)
+                )
+                cur_w.append(words)
+                cur_m.append(bitmap)
                 cur_b.append(
                     np.ascontiguousarray(batch.bank_ids, np.int32)
                 )
@@ -934,32 +960,38 @@ class DistCountEngine:
                 rr += batch.n_reads
                 cnt += 1
                 if cnt == G:
-                    yield np.stack(cur_c), np.stack(cur_b), bb, rr, cnt
-                    cur_c, cur_b, bb, rr, cnt = [], [], 0, 0, 0
+                    yield (np.stack(cur_w), np.stack(cur_m),
+                           np.stack(cur_b), bb, rr, cnt)
+                    cur_w, cur_m, cur_b, bb, rr, cnt = [], [], [], 0, 0, 0
             if cnt:
-                pad_c = np.full(
-                    (local_rows, self.row_len), PAD, np.uint8
-                )
+                pad_w = np.zeros((local_rows, nw), np.uint32)
+                pad_m = np.zeros((local_rows, nb), np.uint32)
                 pad_b = np.zeros(local_rows, np.int32)
                 while cnt < G:
-                    cur_c.append(pad_c)
+                    cur_w.append(pad_w)
+                    cur_m.append(pad_m)
                     cur_b.append(pad_b)
                     cnt += 1
-                yield np.stack(cur_c), np.stack(cur_b), bb, rr, cnt
+                yield (np.stack(cur_w), np.stack(cur_m),
+                       np.stack(cur_b), bb, rr, cnt)
 
         # host->device transfers happen on a background thread so they
         # overlap device compute (double-buffered; P5 pipeline overlap)
         from dsk_tpu.io.prefetch import prefetch
 
         def put(group):
-            codes, bids, bb, rr, cnt = group
+            words, bitmap, bids, bb, rr, cnt = group
             if self.multi_process:
                 # this host's rows feed its own chips; the global group is
                 # assembled across processes without replication
                 return (
                     jax.make_array_from_process_local_data(
-                        group_sharding, codes,
-                        (G, self.batch_rows, self.row_len),
+                        group_sharding, words,
+                        (G, self.batch_rows, words.shape[2]),
+                    ),
+                    jax.make_array_from_process_local_data(
+                        group_sharding, bitmap,
+                        (G, self.batch_rows, bitmap.shape[2]),
                     ),
                     jax.make_array_from_process_local_data(
                         bid_sharding, bids, (G, self.batch_rows)
@@ -970,7 +1002,8 @@ class DistCountEngine:
             where = device0 if single else group_sharding
             where_b = device0 if single else bid_sharding
             return (
-                jax.device_put(codes, where),
+                jax.device_put(words, where),
+                jax.device_put(bitmap, where),
                 jax.device_put(bids, where_b),
                 bb,
                 rr,
@@ -1008,10 +1041,10 @@ class DistCountEngine:
             sub["t_feed"] += _time.perf_counter() - f0
             if item is None:
                 break
-            codes_dev, bids_dev, bb, rr = item
+            words_dev, bitmap_dev, bids_dev, bb, rr = item
             tab_p, tab_c, over, tover = self._step(
-                codes_dev, bids_dev, tab_p, tab_c, over, tover,
-                jnp.int32(pass_id),
+                words_dev, bitmap_dev, bids_dev, tab_p, tab_c, over,
+                tover, jnp.int32(pass_id),
             )
             n_bases += bb
             n_reads += rr
