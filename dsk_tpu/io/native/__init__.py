@@ -57,8 +57,37 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_long,
         ctypes.c_int,
     ]
+    lib.fx_pack_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
     _lib = lib
     return lib
+
+
+def pack_batch(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """C packer for the device wire format (io/packed.py layout); returns
+    None when the library is unavailable (caller falls back to numpy).
+    ~10x the numpy pack on the prefetch thread's hot path."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows, row_len = codes.shape
+    nb = -(-row_len // 32)
+    words = np.empty((rows, nb * 2), np.uint32)
+    bitmap = np.empty((rows, nb), np.uint32)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lib.fx_pack_batch(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows,
+        row_len,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return words, bitmap
 
 
 def available() -> bool:

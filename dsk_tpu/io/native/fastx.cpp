@@ -463,4 +463,37 @@ done:
     return b.row;
 }
 
+// Pack a (rows, row_len) byte-code batch into the device wire format
+// (dsk_tpu/io/packed.py): 16-base uint32 code words (base i at bits
+// 2*(i%16), LSB-first) + 32-base validity bitmap.  row_len is padded up
+// to a multiple of 32 with invalid tail bits.  Must stay bit-identical
+// to the numpy pack_codes fallback (lockstep-tested).
+void fx_pack_batch(const uint8_t* codes, int rows, int row_len,
+                   uint32_t* out_words, uint32_t* out_bitmap) {
+    int nb = (row_len + 31) / 32;
+    int nw = nb * 2;
+    for (int r = 0; r < rows; r++) {
+        const uint8_t* src = codes + (size_t)r * row_len;
+        uint32_t* wr = out_words + (size_t)r * nw;
+        uint32_t* br = out_bitmap + (size_t)r * nb;
+        for (int b = 0; b < nb; b++) {
+            uint32_t w0 = 0, w1 = 0, vm = 0;
+            int base = b * 32;
+            int lim = row_len - base;
+            if (lim > 32) lim = 32;
+            for (int i = 0; i < lim; i++) {
+                uint8_t c = src[base + i];
+                if (c <= 3) {
+                    vm |= 1u << i;
+                    if (i < 16) w0 |= (uint32_t)c << (2 * i);
+                    else        w1 |= (uint32_t)c << (2 * (i - 16));
+                }
+            }
+            wr[2 * b] = w0;
+            wr[2 * b + 1] = w1;
+            br[b] = vm;
+        }
+    }
+}
+
 }  // extern "C"

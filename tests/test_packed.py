@@ -48,6 +48,22 @@ def test_roundtrip_under_jit_3d():
     )
 
 
+@pytest.mark.parametrize("L", [16, 48, 100, 128, 1024])
+def test_native_packer_lockstep(L):
+    from dsk_tpu.io import native
+    from dsk_tpu.io.packed import pack_codes_numpy
+
+    if not native.available():
+        pytest.skip("libdskio.so unavailable")
+    rng = np.random.default_rng(L + 1)
+    codes = rng.integers(0, 4, (37, L), dtype=np.uint8)
+    codes[rng.random((37, L)) < 0.1] = PAD
+    wn, bn = native.pack_batch(codes)
+    wp, bp = pack_codes_numpy(codes)
+    np.testing.assert_array_equal(wn, wp)
+    np.testing.assert_array_equal(bn, bp)
+
+
 def test_wire_bytes_shrink():
     # the point of the format: <= 3 bits/base on the wire (+ alignment)
     words, bitmap = pack_codes(np.zeros((128, 1024), np.uint8))
