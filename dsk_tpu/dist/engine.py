@@ -135,6 +135,7 @@ class DistCountEngine:
         repartition: np.ndarray | None = None,
         flush_buckets: int = 1,
         bucketize_at: str = "flush",
+        flush_mode: str = "sort",
     ):
         """routing: "hash" (per-kmer hash owners, local dedup before the
         all_to_all) or "superkmer" (KMC3-style: consecutive windows
@@ -201,6 +202,13 @@ class DistCountEngine:
         #     globally.
         if bucketize_at not in ("route", "flush"):
             raise ValueError(f"unknown bucketize_at {bucketize_at!r}")
+        if flush_mode not in ("sort", "merge"):
+            raise ValueError(f"unknown flush_mode {flush_mode!r}")
+        # "merge": the flush sorts ONLY the group buffer, then folds the
+        # persistent table in with a bitonic merge network (the table is
+        # already sorted — kmer/device.py sum_by_key_presorted).  Flat
+        # (S == 1) flushes only.
+        self.flush_mode = flush_mode if flush_buckets <= 1 else "sort"
         S = 1
         if flush_buckets > 1 and table_cap >= 2048:
             S = min(flush_buckets, table_cap // 256)
@@ -589,12 +597,31 @@ class DistCountEngine:
             table — the table never re-sorts as one flat array.
             S > 1, route-bucketized: buffer arrives pre-bucketized."""
             if S == 1:
-                planes = tuple(
-                    jnp.concatenate([buf_p[w, 0], tab_p[w]])
-                    for w in range(WK)
-                )
-                weights = jnp.concatenate([buf_c[0], tab_c])
-                uniq, counts, n_uniq = sum_by_key_planes(planes, weights)
+                if self.flush_mode == "merge":
+                    # sort only the NEW rows; the persistent table is
+                    # already sorted (live prefix + sentinel tail), so a
+                    # bitonic merge network folds it in with ceil(log2 N)
+                    # elementwise stages instead of a second full sort
+                    from dsk_tpu.kmer.device import sum_by_key_presorted
+
+                    s = jax.lax.sort(
+                        tuple(buf_p[w, 0] for w in range(WK))
+                        + (buf_c[0],),
+                        num_keys=WK,
+                    )
+                    uniq, counts, n_uniq = sum_by_key_presorted(
+                        tuple(s[:WK]), s[WK],
+                        tuple(tab_p[w] for w in range(WK)), tab_c,
+                    )
+                else:
+                    planes = tuple(
+                        jnp.concatenate([buf_p[w, 0], tab_p[w]])
+                        for w in range(WK)
+                    )
+                    weights = jnp.concatenate([buf_c[0], tab_c])
+                    uniq, counts, n_uniq = sum_by_key_planes(
+                        planes, weights
+                    )
                 tover = tover + (
                     n_uniq > plan.table_cap
                 ).astype(jnp.int32)[None]
@@ -1035,24 +1062,36 @@ class DistCountEngine:
                     return
                 yield nxt
 
-        def timed_puts():
+        def timed_put(nxt):
             # pack/stack (timed_gen, own prefetch thread) overlaps the
-            # wire (put + eager fence, this thread): with the fence the
+            # wire (put + eager fence, pool threads): with the fence the
             # transfer completes inside put(), so without the extra
-            # stage host gen time and wire time would serialize
-            it = iter(prefetch(timed_gen(), depth=2))
-            while True:
-                nxt = next(it, None)
-                if nxt is None:
-                    return
-                g1 = _time.perf_counter()
-                out = put(nxt)
-                sub["t_put"] += _time.perf_counter() - g1
-                yield out
+            # stage host gen time and wire time would serialize.
+            # t_put is summed ACROSS put threads (can exceed wall).
+            g1 = _time.perf_counter()
+            out = put(nxt)
+            sub["t_put"] += _time.perf_counter() - g1
+            return out
+
+        # the tunnel (like a real NIC) multiplexes parallel H2D streams:
+        # measured 9 MB/s on one stream -> 22-24 MB/s with 8 concurrent
+        # puts (scripts/measure_h2d_streams.py).  Groups transfer on a
+        # small thread pool, consumed in order.
+        import os as _os
+
+        put_streams = int(_os.environ.get("DSK_TPU_PUT_STREAMS", "4"))
+        from dsk_tpu.io.prefetch import parallel_map
 
         t0 = _time.perf_counter()
         n_groups = 0
-        feed = iter(prefetch(timed_puts(), depth=3))
+        feed = iter(
+            parallel_map(
+                timed_put,
+                prefetch(timed_gen(), depth=max(2, put_streams)),
+                workers=put_streams,
+                inflight=put_streams + 1,
+            )
+        )
         while True:
             f0 = _time.perf_counter()
             item = next(feed, None)

@@ -163,19 +163,97 @@ def sum_by_key(words: jax.Array, weights: jax.Array) -> tuple[jax.Array, jax.Arr
     return jnp.stack(uniq_planes, axis=-1), counts, n_uniq
 
 
-def sum_by_key_planes(
-    planes: tuple[jax.Array, ...], weights: jax.Array
-) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
-    """Plane-layout core of sum_by_key: keys as W separate (N,) uint32
-    arrays (contiguous lax.sort operands — no strided slicing of a (N, W)
-    matrix).  Returns (uniq_planes, counts, n_uniq)."""
-    W = len(planes)
-    N = planes[0].shape[0]
-    ops = planes + (weights.astype(jnp.int32),)
-    sorted_ops = jax.lax.sort(ops, num_keys=W)
-    skeys = sorted_ops[:W]
-    sweights = sorted_ops[W]
+def merge_sorted_planes(
+    planes_a: tuple[jax.Array, ...],
+    weights_a: jax.Array,
+    planes_b: tuple[jax.Array, ...],
+    weights_b: jax.Array,
+) -> tuple[tuple[jax.Array, ...], jax.Array]:
+    """Merge two individually key-sorted plane sets into one sorted set.
 
+    Both inputs must be ascending by their W key words with dead rows as
+    full sentinels (which sort to the end — exactly the layout lax.sort
+    and the flush compaction produce).  The concatenation
+    [reverse(a), b] is then a cyclically bitonic "valley" (descending,
+    ascending, sentinel plateau), so a single bitonic MERGE network —
+    ceil(log2 N) elementwise compare-exchange stages — sorts it: O(N log N)
+    word-ops of pure VPU work instead of the O(N log^2 N) of a full
+    lax.sort.  Used by the "merge" flush: the persistent table is already
+    sorted, so only the new buffer pays a real sort (SURVEY.md C4 — DSK
+    also exploits per-partition sortedness by never re-sorting counted
+    output).
+
+    Virtual +inf padding to the next power of two is simulated: a stage's
+    shifted partner slots that fall off the end read SENTINEL, so no
+    physical pad is materialized.
+    """
+    W = len(planes_a)
+    arrs = [
+        jnp.concatenate([planes_a[w][::-1], planes_b[w]]) for w in range(W)
+    ] + [
+        jnp.concatenate(
+            [weights_a.astype(jnp.int32)[::-1], weights_b.astype(jnp.int32)]
+        )
+    ]
+    N = arrs[0].shape[0]
+    P = 1 << (N - 1).bit_length()  # virtual length (power of two)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    s = P // 2
+    while s >= 1:
+        in_lo = (idx & s) == 0
+
+        # partner values via static shifts; off-the-end partners read the
+        # sentinel (+inf keys always lose the exchange, so their weight
+        # fill is never selected); leading fill of the down-shift is
+        # never read (in_hi slots have idx >= s)
+        def shift_up(a, fill):
+            if s >= N:
+                return jnp.full((N,), fill, a.dtype)
+            return jnp.concatenate(
+                [a[s:], jnp.full((s,), fill, a.dtype)]
+            )
+
+        def shift_down(a):
+            if s >= N:
+                return jnp.zeros((N,), a.dtype)
+            return jnp.concatenate(
+                [jnp.zeros((s,), a.dtype), a[: N - s]]
+            )
+
+        up = [shift_up(a, SENTINEL) for a in arrs[:W]]
+        up.append(shift_up(arrs[W], 0))
+        down = [shift_down(a) for a in arrs]
+
+        # lexicographic key(x) > key(up) / key(down) > key(x)
+        gt_lo = jnp.zeros((N,), jnp.bool_)
+        eq = jnp.ones((N,), jnp.bool_)
+        for w in range(W):
+            gt_lo = gt_lo | (eq & (arrs[w] > up[w]))
+            eq = eq & (arrs[w] == up[w])
+        gt_hi = jnp.zeros((N,), jnp.bool_)
+        eq = jnp.ones((N,), jnp.bool_)
+        for w in range(W):
+            gt_hi = gt_hi | (eq & (down[w] > arrs[w]))
+            eq = eq & (down[w] == arrs[w])
+
+        take_partner = jnp.where(in_lo, gt_lo, gt_hi)
+        arrs = [
+            jnp.where(take_partner, jnp.where(in_lo, u, d), a)
+            for a, u, d in zip(arrs, up, down)
+        ]
+        s //= 2
+
+    return tuple(arrs[:W]), arrs[W]
+
+
+def _dedup_sorted(
+    skeys: tuple[jax.Array, ...], sweights: jax.Array
+) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Run-length dedup + compaction of an already key-sorted plane set
+    (the post-sort half of sum_by_key_planes)."""
+    W = len(skeys)
+    N = skeys[0].shape[0]
     is_new = jnp.zeros((N,), jnp.bool_).at[0].set(True)
     neq = jnp.zeros((N - 1,), jnp.bool_)
     for w in range(W):
@@ -216,6 +294,37 @@ def sum_by_key_planes(
     counts = jnp.where(live, sorted2[1 + W], 0)
     n_uniq = jnp.sum(keep.astype(jnp.int32))
     return uniq_planes, counts, n_uniq
+
+
+def sum_by_key_planes(
+    planes: tuple[jax.Array, ...], weights: jax.Array
+) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Plane-layout core of sum_by_key: keys as W separate (N,) uint32
+    arrays (contiguous lax.sort operands — no strided slicing of a (N, W)
+    matrix).  Returns (uniq_planes, counts, n_uniq)."""
+    W = len(planes)
+    ops = planes + (weights.astype(jnp.int32),)
+    sorted_ops = jax.lax.sort(ops, num_keys=W)
+    return _dedup_sorted(tuple(sorted_ops[:W]), sorted_ops[W])
+
+
+def sum_by_key_presorted(
+    planes_a: tuple[jax.Array, ...],
+    weights_a: jax.Array,
+    planes_b: tuple[jax.Array, ...],
+    weights_b: jax.Array,
+) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """sum_by_key over the union of two ALREADY-SORTED plane sets.
+
+    Skips the full W-key sort: a bitonic merge network combines the two
+    sorted inputs (merge_sorted_planes), then the run-length dedup +
+    compaction run as usual.  The "merge" flush uses this with
+    a = the freshly sorted buffer, b = the persistent table (sorted by
+    construction), so only the buffer ever pays a real lax.sort."""
+    merged_planes, merged_w = merge_sorted_planes(
+        planes_a, weights_a, planes_b, weights_b
+    )
+    return _dedup_sorted(merged_planes, merged_w)
 
 
 def sum_by_key_planes_2d(
