@@ -64,19 +64,24 @@ def main() -> None:
 
     k = 31
     rows, row_len = 2048, 1024
-    n_batches = 32  # 8 groups of 4: ~65 Mbases
+    n_batches = 32  # 4 groups of 8: ~65 Mbases
 
     # the static-shape engine: ONE fused step program per flush group
     # (lax.scan of buf_batches route steps + the flush merge) — the axon
     # tunnel charges ~6.5 ms per dispatch, so big batches + fused groups
-    # keep the pipeline compute-bound (profile_engine2.py, round 2)
+    # keep the pipeline compute-bound (profile_engine2.py, round 2).
+    # Geometry from scripts/measure_group_geometry.py: the flat flush sort
+    # is SUB-linear per row (7.3 -> 6.76 ms/Mrow from 10M to 18M rows) and
+    # each flush re-sorts the whole table_cap, so G=8 groups + a
+    # distinct-sized 1.5M cap beat round 2's G4/2M by 11% (70.5 vs 63.4
+    # Mbases/s device ceiling); G16 regresses (33M-row sort superlinear).
     engine = DistCountEngine(
         k,
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=4,  # buffer ~4x table: flush re-sort amortized
-        table_cap=1 << 21,
+        buf_batches=8,  # buffer ~8x table: flush re-sort amortized
+        table_cap=(1 << 20) + (1 << 19),
     )
     import sys
 
@@ -96,7 +101,7 @@ def main() -> None:
     # benchmarks the window, not the pipeline.
     elapsed = float("inf")
     runs = []
-    for run in range(2):
+    for run in range(3):
         t0 = time.perf_counter()
         res = engine.count_stream(iter(batches), finalize=False)
         runs.append(round(time.perf_counter() - t0, 3))
@@ -109,7 +114,7 @@ def main() -> None:
     from dsk_tpu.io.packed import pack_codes
 
     d0 = jax.devices()[0]
-    grp = batches[:4]
+    grp = batches[:8]  # one flush group (buf_batches)
     ws, ms = zip(*(pack_codes(b.codes) for b in grp))
     cd = jax.device_put(np.stack(ws), d0)
     md = jax.device_put(np.stack(ms), d0)

@@ -13,7 +13,7 @@ from dsk_tpu.engine.counter import CountEngine
 from dsk_tpu.engine.planner import plan_resources
 from dsk_tpu.kmer import codec
 
-KS = [65, 96, 127]
+KS = [65, 96, 127, 255]  # 255 = top of the reference's span list (W=16)
 
 
 @pytest.fixture(scope="module")
