@@ -16,9 +16,14 @@ vs_baseline = bases/s divided by the reference's single-thread CPU figure
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# 8 parallel H2D put streams: the axon tunnel multiplexes to 22-24 MB/s
+# vs ~9 on one stream (scripts/measure_h2d_streams.py)
+os.environ.setdefault("DSK_TPU_PUT_STREAMS", "8")
 
 CPU_BASELINE_BASES_PER_S = 2.2e6  # DSK 1-thread human-genome run, SURVEY.md §6
 
@@ -64,23 +69,24 @@ def main() -> None:
 
     k = 31
     rows, row_len = 2048, 1024
-    n_batches = 32  # 4 groups of 8: ~65 Mbases
+    n_batches = 64  # 2 groups of 32: ~134 Mbases
 
     # the static-shape engine: ONE fused step program per flush group
     # (lax.scan of buf_batches route steps + the flush merge) — the axon
     # tunnel charges ~6.5 ms per dispatch, so big batches + fused groups
     # keep the pipeline compute-bound (profile_engine2.py, round 2).
-    # Geometry from scripts/measure_group_geometry.py: the flat flush sort
-    # is SUB-linear per row (7.3 -> 6.76 ms/Mrow from 10M to 18M rows) and
-    # each flush re-sorts the whole table_cap, so G=8 groups + a
-    # distinct-sized 1.5M cap beat round 2's G4/2M by 11% (70.5 vs 63.4
-    # Mbases/s device ceiling); G16 regresses (33M-row sort superlinear).
+    # Geometry from scripts/measure_group_geometry.py with the two-stage
+    # flush compaction (kmer/device.sum_by_key_planes_capped): big groups
+    # amortize the table re-sort and the batched compaction keeps the
+    # flush near-linear, peaking at G32 + a distinct-sized 1.5M cap
+    # (108.5 Mbases/s device ceiling vs 63.4 at round 2's G4/2M;
+    # G48/G64 plateau ~100).
     engine = DistCountEngine(
         k,
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=8,  # buffer ~8x table: flush re-sort amortized
+        buf_batches=32,  # buffer ~27x table: flush re-sort amortized
         table_cap=(1 << 20) + (1 << 19),
     )
     import sys
@@ -114,7 +120,7 @@ def main() -> None:
     from dsk_tpu.io.packed import pack_codes
 
     d0 = jax.devices()[0]
-    grp = batches[:8]  # one flush group (buf_batches)
+    grp = batches[:32]  # one flush group (buf_batches)
     ws, ms = zip(*(pack_codes(b.codes) for b in grp))
     cd = jax.device_put(np.stack(ws), d0)
     md = jax.device_put(np.stack(ms), d0)

@@ -136,6 +136,7 @@ class DistCountEngine:
         flush_buckets: int = 1,
         bucketize_at: str = "flush",
         flush_mode: str = "sort",
+        compact_segments: int | None = None,
     ):
         """routing: "hash" (per-kmer hash owners, local dedup before the
         all_to_all) or "superkmer" (KMC3-style: consecutive windows
@@ -246,6 +247,21 @@ class DistCountEngine:
             bucket_cols=bucket_cols,
             flush_cols=flush_cols,
         )
+        # two-stage flush compaction segments (flat "sort" flushes only):
+        # batched per-segment 1-key sorts front-load run heads, a small
+        # flat sort restores global order — 28% cheaper than the
+        # monolithic compaction at G8 bench shapes (PERF.md, kmer/device
+        # sum_by_key_planes_capped).  Auto: segments of >= 128K rows.
+        # Segment-slack head loss is counted into the table-overflow
+        # valve; the run.py retry falls back to monolithic (segments=0).
+        if compact_segments is None and S == 1 and self.flush_mode == "sort":
+            n_flush = self.plan.buf_cap + table_cap
+            cs = 1
+            while n_flush // (cs * 2) >= (1 << 17):
+                cs *= 2
+            self.compact_segments = cs
+        else:
+            self.compact_segments = max(int(compact_segments or 0), 1)
         self.nb_bins = nb_bins
         # multi-process mesh: this host feeds rows only for its own chips
         # (jax.make_array_from_process_local_data assembles the global
@@ -613,23 +629,30 @@ class DistCountEngine:
                         tuple(s[:WK]), s[WK],
                         tuple(tab_p[w] for w in range(WK)), tab_c,
                     )
-                else:
-                    planes = tuple(
-                        jnp.concatenate([buf_p[w, 0], tab_p[w]])
-                        for w in range(WK)
+                    tover = tover + (
+                        n_uniq > plan.table_cap
+                    ).astype(jnp.int32)[None]
+                    new_p = jnp.stack(
+                        [u[: plan.table_cap] for u in uniq], axis=0
                     )
-                    weights = jnp.concatenate([buf_c[0], tab_c])
-                    uniq, counts, n_uniq = sum_by_key_planes(
-                        planes, weights
-                    )
-                tover = tover + (
-                    n_uniq > plan.table_cap
-                ).astype(jnp.int32)[None]
-                new_p = jnp.stack(
-                    [u[: plan.table_cap] for u in uniq], axis=0
+                    new_c = counts[: plan.table_cap]
+                    return buf_p, buf_c, new_p, new_c, over, tover
+                from dsk_tpu.kmer.device import sum_by_key_planes_capped
+
+                planes = tuple(
+                    jnp.concatenate([buf_p[w, 0], tab_p[w]])
+                    for w in range(WK)
                 )
-                new_c = counts[: plan.table_cap]
-                return buf_p, buf_c, new_p, new_c, over, tover
+                weights = jnp.concatenate([buf_c[0], tab_c])
+                uniq, counts, n_uniq, n_lost = sum_by_key_planes_capped(
+                    planes, weights, plan.table_cap,
+                    segments=self.compact_segments,
+                )
+                tover = tover + (
+                    (n_uniq > plan.table_cap) | (n_lost > 0)
+                ).astype(jnp.int32)[None]
+                new_p = jnp.stack(uniq, axis=0)
+                return buf_p, buf_c, new_p, counts, over, tover
             capb = plan.table_cap // S
             tp3 = tab_p.reshape(WK, S, capb)
             tc2 = tab_c.reshape(S, capb)

@@ -120,6 +120,7 @@ def _select_engine(
     send_slack: float | None = None,
     routing: str = "hash",
     repartition=None,
+    compact_segments: int | None = None,
 ):
     """Pick the counting engine (SURVEY.md C1's role).
 
@@ -153,6 +154,7 @@ def _select_engine(
             minimizer_size=params.minimizer_size,
             repartition=repartition,
             flush_buckets=params.flush_buckets,
+            compact_segments=compact_segments,
         )
         engine.compile(progress=lambda m: progress.log(f"[dsk_tpu] {m}", 2))
         return engine
@@ -269,6 +271,7 @@ def execute(params: RunParams) -> RunOutput:
 
     send_slack = params.send_slack
     n_passes = plan.n_passes
+    compact_segments = None  # auto; retry falls back to monolithic
     attempt = 0
     while True:
         # compile timed as its own phase: warm starts restore from the
@@ -280,6 +283,7 @@ def execute(params: RunParams) -> RunOutput:
                 params, plan, need_per_bank, progress,
                 send_slack=send_slack,
                 routing=routing, repartition=repartition,
+                compact_segments=compact_segments,
             )
         ckpt = None
         done_passes = None
@@ -347,11 +351,16 @@ def execute(params: RunParams) -> RunOutput:
             if attempt > params.max_retries:
                 raise
             # same table_cap, twice the passes: per-pass distinct volume
-            # halves while capacity stays, doubling the headroom
+            # halves while capacity stays, doubling the headroom.  Also
+            # fall back to monolithic flush compaction: a TableOverflow
+            # can be two-stage segment-slack loss (local head skew),
+            # which more passes do not necessarily fix.
             n_passes *= 2
             plan.n_passes = n_passes
+            compact_segments = 0
             progress.log(
-                f"[dsk_tpu] {e}; retrying with n_passes={n_passes}"
+                f"[dsk_tpu] {e}; retrying with n_passes={n_passes}, "
+                "monolithic compaction"
             )
     if ckpt is not None:
         ckpt.remove()

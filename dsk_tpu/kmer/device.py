@@ -247,11 +247,14 @@ def merge_sorted_planes(
     return tuple(arrs[:W]), arrs[W]
 
 
-def _dedup_sorted(
+def _run_heads(
     skeys: tuple[jax.Array, ...], sweights: jax.Array
-) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
-    """Run-length dedup + compaction of an already key-sorted plane set
-    (the post-sort half of sum_by_key_planes)."""
+) -> tuple[jax.Array, jax.Array]:
+    """Run heads + per-run totals of an already key-sorted plane set.
+
+    Returns (keep, run_total): keep marks the first row of each run of a
+    real (non-sentinel) key; run_total holds that run's summed weight at
+    every row (callers read it at keep rows)."""
     W = len(skeys)
     N = skeys[0].shape[0]
     is_new = jnp.zeros((N,), jnp.bool_).at[0].set(True)
@@ -278,6 +281,17 @@ def _dedup_sorted(
     for w in range(W):
         is_sent = is_sent & (skeys[w] == SENTINEL)
     keep = is_new & ~is_sent
+    return keep, run_total
+
+
+def _dedup_sorted(
+    skeys: tuple[jax.Array, ...], sweights: jax.Array
+) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
+    """Run-length dedup + compaction of an already key-sorted plane set
+    (the post-sort half of sum_by_key_planes)."""
+    W = len(skeys)
+    N = skeys[0].shape[0]
+    keep, run_total = _run_heads(skeys, sweights)
 
     # compaction by stable single-key sort: real run-heads to the front.
     # (A monotone-position scatter looks faster in isolation — ~0.1 ms for
@@ -306,6 +320,94 @@ def sum_by_key_planes(
     ops = planes + (weights.astype(jnp.int32),)
     sorted_ops = jax.lax.sort(ops, num_keys=W)
     return _dedup_sorted(tuple(sorted_ops[:W]), sorted_ops[W])
+
+
+def sum_by_key_planes_capped(
+    planes: tuple[jax.Array, ...],
+    weights: jax.Array,
+    cap: int,
+    segments: int = 0,
+) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array, jax.Array]:
+    """sum_by_key_planes with a bounded output and two-stage compaction.
+
+    The monolithic run-head compaction (one 1-key lax.sort over ALL N
+    rows) is the single largest flush piece on v5e
+    (scripts/measure_flush_breakdown.py).  With `segments` = S > 1 the
+    compaction runs in two stages instead:
+
+      1. deal the sorted rows into S STRIDED segments (position i ->
+         segment i mod S) and front-load each segment's run heads with
+         ONE batched 1-key sort — batched VMEM-sized sorts are ~4x
+         cheaper per row than a flat sort (PERF.md);
+      2. slice every segment to `slack = 2*ceil(cap/S)` columns and
+         restore global order with a small flat 1-key sort over the
+         S*slack survivors.
+
+    Strided (not contiguous) segments make each segment a 1/S systematic
+    sample of positions, so heads per segment track the GLOBAL head
+    count (<= cap enforced by the caller's overflow check) even when
+    live rows occupy only a prefix — the systematic case: a PARTIAL
+    flush group (stream warm-up, final group) whose padding rows all
+    sort to the end.  2x slack then overflows only under a mod-S
+    periodic run-length pattern (no genomic mechanism produces one);
+    dropped heads are COUNTED and returned as n_lost — the engine's
+    overflow valve treats n_lost > 0 like a table overflow (retry falls
+    back to the monolithic path).  Measured 28% faster than the
+    monolithic compaction at 17.9M rows
+    (scripts/measure_twostage_compact.py).
+
+    Returns (uniq_planes (cap,)*W, counts (cap,), n_uniq, n_lost).
+    """
+    W = len(planes)
+    N = planes[0].shape[0]
+    ops = planes + (weights.astype(jnp.int32),)
+    sorted_ops = jax.lax.sort(ops, num_keys=W)
+    skeys, sweights = tuple(sorted_ops[:W]), sorted_ops[W]
+    S = segments
+    slack = 0 if S <= 1 else min(-(-N // S), 2 * (-(-cap // S)))
+    if S <= 1 or S * slack >= N // 2:
+        # no meaningful reduction at this shape: monolithic path
+        uniq, counts, n_uniq = _dedup_sorted(skeys, sweights)
+        return (
+            tuple(u[:cap] for u in uniq),
+            counts[:cap],
+            n_uniq,
+            jnp.int32(0),
+        )
+
+    keep, run_total = _run_heads(skeys, sweights)
+    L = -(-N // S)
+    NP = S * L
+    idx = jnp.arange(N, dtype=jnp.int32)
+    ckey = jnp.where(keep, idx, N)
+    pad = NP - N
+
+    def padded(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+
+    def deal(a):
+        # strided deal: segment s holds positions {s, s+S, s+2S, ...}
+        return a.reshape(L, S).T
+
+    ops1 = (
+        (deal(padded(ckey, N)),)
+        + tuple(deal(padded(k, SENTINEL)) for k in skeys)
+        + (deal(padded(run_total, 0)),)
+    )
+    s1 = jax.lax.sort(ops1, num_keys=1, dimension=-1)
+    n_keep_seg = jnp.sum((s1[0] < N).astype(jnp.int32), axis=1)
+    n_lost = jnp.sum(jnp.maximum(n_keep_seg - slack, 0))
+    sliced = tuple(o[:, :slack].reshape(S * slack) for o in s1)
+    s2 = jax.lax.sort(sliced, num_keys=1)
+    live = s2[0][:cap] < N
+    uniq = tuple(
+        jnp.where(live, s2[1 + w][:cap], SENTINEL) for w in range(W)
+    )
+    counts = jnp.where(live, s2[1 + W][:cap], 0)
+    n_uniq = jnp.sum(keep.astype(jnp.int32))
+    return uniq, counts, n_uniq, n_lost
 
 
 def sum_by_key_presorted(

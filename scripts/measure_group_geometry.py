@@ -51,15 +51,13 @@ def main():
 
     if k == 31:
         configs = [
-            ("G4-cap2M", 4, 1 << 21),      # bench.py round-2 default
-            ("G8-cap2M", 8, 1 << 21),
-            ("G8-cap1.5M", 8, (1 << 20) + (1 << 19)),
-            ("G16-cap1.5M", 16, (1 << 20) + (1 << 19)),
+            ("G48-cap1.5M", 48, (1 << 20) + (1 << 19)),
+            ("G64-cap1.5M", 64, (1 << 20) + (1 << 19)),
         ]
     else:
         configs = [
-            ("G4-cap2M", 4, 1 << 21),
-            ("G8-cap1.5M", 8, (1 << 20) + (1 << 19)),
+            ("G16-cap1.5M", 16, (1 << 20) + (1 << 19)),
+            ("G32-cap1.5M", 32, (1 << 20) + (1 << 19)),
         ]
 
     results = {}
