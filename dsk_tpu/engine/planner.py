@@ -371,11 +371,19 @@ def plan_resources(
     table_cap = _round_capacity(int(per_pass / TABLE_FILL_TARGET) + 1)
     table_cap = min(table_cap, budget_slots * 2)
     flush_items = min(max(table_cap, 1 << 20), 1 << 23)
-    # mesh-engine flush cadence: buffer ~2x the table, so each flush's
-    # (buf + table) sort is amortized over mostly-new volume (sort cost
-    # per record = (buf+tab)/buf ~ 1.5x)
+    # mesh-engine flush cadence: with the two-stage flush compaction the
+    # flush is near-linear in rows, so big groups win by amortizing the
+    # table re-sort — measured optimum ~64M flush rows at cap 1.5M (G32;
+    # PERF.md round-2-final); beyond that the flat key sort's
+    # super-linearity and sort scratch take over.  Clip the group so one
+    # flush sorts at most TARGET_FLUSH_ROWS.
     windows_per_batch = max(batch_rows * (row_len - k + 1), 1)
-    buf_batches = int(np.clip(2 * table_cap // windows_per_batch, 8, 256))
+    TARGET_FLUSH_ROWS = 64 << 20
+    buf_batches = int(
+        np.clip(
+            (TARGET_FLUSH_ROWS - table_cap) // windows_per_batch, 8, 64
+        )
+    )
     return ResourcePlan(
         n_passes=n_passes,
         table_cap=table_cap,
