@@ -21,9 +21,10 @@ import time
 
 import numpy as np
 
-# 8 parallel H2D put streams: the axon tunnel multiplexes to 22-24 MB/s
-# vs ~9 on one stream (scripts/measure_h2d_streams.py)
-os.environ.setdefault("DSK_TPU_PUT_STREAMS", "8")
+# 16 parallel H2D put streams over per-batch transfers: the axon tunnel
+# multiplexes to ~22 MB/s sustained (vs ~9 on one stream, ~14 at 8
+# streams of batch-sized items; 32 streams regress — contention).
+os.environ.setdefault("DSK_TPU_PUT_STREAMS", "16")
 
 CPU_BASELINE_BASES_PER_S = 2.2e6  # DSK 1-thread human-genome run, SURVEY.md §6
 

@@ -985,45 +985,54 @@ class DistCountEngine:
             self.local_batch_rows if self.multi_process else self.batch_rows
         )
 
-        def groups(src):
-            """Pack + stack G batches into one packed group (tail padded).
+        from dsk_tpu.io.packed import pack_codes, packed_shapes
 
-            Packing (io/packed.py, 3 bits/base) runs HERE on the prefetch
-            thread: the host->device link is the narrow resource (the
-            axon tunnel moves byte codes at ~7-10 MB/s sustained,
-            measured round 2), so wire bytes are cut 2.67x before the
-            transfer, overlapped with device compute."""
-            from dsk_tpu.io.packed import pack_codes, packed_shapes
+        nw_p, nb_p = packed_shapes(self.row_len)
 
-            nw, nb = packed_shapes(self.row_len)
-            cur_w, cur_m, cur_b, bb, rr, cnt = [], [], [], 0, 0, 0
-            for batch in src:
-                words, bitmap = pack_codes(
-                    np.ascontiguousarray(batch.codes, np.uint8)
-                )
-                cur_w.append(words)
-                cur_m.append(bitmap)
-                cur_b.append(
-                    np.ascontiguousarray(batch.bank_ids, np.int32)
-                )
-                bb += batch.n_bases
-                rr += batch.n_reads
+        def pack_one(batch):
+            """Pack one batch to the 3-bit/base wire format (io/packed.py)
+            on the prefetch thread: the host->device link is the narrow
+            resource (the axon tunnel moves byte codes at ~7-10 MB/s
+            sustained, measured round 2), so wire bytes are cut 2.67x
+            before the transfer, overlapped with device compute."""
+            words, bitmap = pack_codes(
+                np.ascontiguousarray(batch.codes, np.uint8)
+            )
+            bids = np.ascontiguousarray(batch.bank_ids, np.int32)
+            return words, bitmap, bids, batch.n_bases, batch.n_reads
+
+        def pad_items(cnt):
+            pad_w = np.zeros((local_rows, nw_p), np.uint32)
+            pad_m = np.zeros((local_rows, nb_p), np.uint32)
+            pad_b = np.zeros(local_rows, np.int32)
+            while cnt % G:
+                yield (pad_w, pad_m, pad_b, 0, 0)
                 cnt += 1
-                if cnt == G:
-                    yield (np.stack(cur_w), np.stack(cur_m),
-                           np.stack(cur_b), bb, rr, cnt)
-                    cur_w, cur_m, cur_b, bb, rr, cnt = [], [], [], 0, 0, 0
-            if cnt:
-                pad_w = np.zeros((local_rows, nw), np.uint32)
-                pad_m = np.zeros((local_rows, nb), np.uint32)
-                pad_b = np.zeros(local_rows, np.int32)
-                while cnt < G:
-                    cur_w.append(pad_w)
-                    cur_m.append(pad_m)
-                    cur_b.append(pad_b)
-                    cnt += 1
-                yield (np.stack(cur_w), np.stack(cur_m),
-                       np.stack(cur_b), bb, rr, cnt)
+
+        def items(src):
+            """Per-BATCH packed items, tail padded to a whole group.
+            Per-batch wire granularity lets the H2D stream overlap device
+            compute at batch grain — with group-sized puts the FIRST
+            group's whole wire serializes ahead of any compute."""
+            cnt = 0
+            for batch in src:
+                yield pack_one(batch)
+                cnt += 1
+            yield from pad_items(cnt)
+
+        def groups(src):
+            """Pack + stack G batches into one packed group (tail padded);
+            the sharded / multi-process wire path."""
+            cur, bb, rr = [], 0, 0
+            for it in items(src):
+                cur.append(it)
+                bb += it[3]
+                rr += it[4]
+                if len(cur) == G:
+                    yield (np.stack([c[0] for c in cur]),
+                           np.stack([c[1] for c in cur]),
+                           np.stack([c[2] for c in cur]), bb, rr, G)
+                    cur, bb, rr = [], 0, 0
 
         # host->device transfers happen on a background thread so they
         # overlap device compute (double-buffered; P5 pipeline overlap)
@@ -1075,8 +1084,16 @@ class DistCountEngine:
         # bottleneck, and t_drain ~ 0 when the host is.
         sub = {"t_gen": 0.0, "t_put": 0.0, "t_feed": 0.0, "t_drain": 0.0}
 
+        # single-device engines transfer per BATCH, not per group: the
+        # step still consumes (G, ...) stacked arrays, but a tiny jitted
+        # device-side stack assembles them from G per-batch transfers, so
+        # the wire streams at batch grain and overlaps compute from the
+        # very first batch (a group-sized put serializes the whole first
+        # group's wire ahead of any compute)
+        per_batch_wire = single and not self.multi_process
+
         def timed_gen():
-            it = groups(batches)
+            it = items(batches) if per_batch_wire else groups(batches)
             while True:
                 g0 = _time.perf_counter()
                 nxt = next(it, None)
@@ -1085,6 +1102,14 @@ class DistCountEngine:
                     return
                 yield nxt
 
+        def put_item(it):
+            words, bitmap, bids, bb, rr = it
+            words_dev = jax.device_put(words, device0)
+            bitmap_dev = jax.device_put(bitmap, device0)
+            bids_dev = jax.device_put(bids, device0)
+            _ = np.asarray(words_dev[0, 0])  # eager-wire fence (see put)
+            return (words_dev, bitmap_dev, bids_dev, bb, rr)
+
         def timed_put(nxt):
             # pack/stack (timed_gen, own prefetch thread) overlaps the
             # wire (put + eager fence, pool threads): with the fence the
@@ -1092,7 +1117,7 @@ class DistCountEngine:
             # stage host gen time and wire time would serialize.
             # t_put is summed ACROSS put threads (can exceed wall).
             g1 = _time.perf_counter()
-            out = put(nxt)
+            out = put_item(nxt) if per_batch_wire else put(nxt)
             sub["t_put"] += _time.perf_counter() - g1
             return out
 
@@ -1107,27 +1132,49 @@ class DistCountEngine:
 
         t0 = _time.perf_counter()
         n_groups = 0
+        depth = max(2, put_streams) * (G if per_batch_wire else 1)
         feed = iter(
             parallel_map(
                 timed_put,
-                prefetch(timed_gen(), depth=max(2, put_streams)),
+                prefetch(timed_gen(), depth=depth),
                 workers=put_streams,
-                inflight=put_streams + 1,
+                inflight=put_streams + (G if per_batch_wire else 1),
             )
         )
+        if per_batch_wire and not hasattr(self, "_stack_group"):
+            self._stack_group = jax.jit(
+                lambda ws, ms, bs: (
+                    jnp.stack(ws), jnp.stack(ms), jnp.stack(bs)
+                ),
+                donate_argnums=(0, 1, 2),
+            )
+        pend: list = []
         while True:
             f0 = _time.perf_counter()
             item = next(feed, None)
             sub["t_feed"] += _time.perf_counter() - f0
             if item is None:
                 break
-            words_dev, bitmap_dev, bids_dev, bb, rr = item
+            if per_batch_wire:
+                pend.append(item)
+                n_bases += item[3]
+                n_reads += item[4]
+                if len(pend) < G:
+                    continue
+                words_dev, bitmap_dev, bids_dev = self._stack_group(
+                    [p[0] for p in pend],
+                    [p[1] for p in pend],
+                    [p[2] for p in pend],
+                )
+                pend = []
+            else:
+                words_dev, bitmap_dev, bids_dev, bb, rr = item
+                n_bases += bb
+                n_reads += rr
             tab_p, tab_c, over, tover = self._step(
                 words_dev, bitmap_dev, bids_dev, tab_p, tab_c, over,
                 tover, jnp.int32(pass_id),
             )
-            n_bases += bb
-            n_reads += rr
             n_groups += 1
             if progress_cb is not None and n_groups % 8 == 0:
                 progress_cb(n_groups * G, n_bases, n_reads)

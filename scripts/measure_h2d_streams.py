@@ -44,7 +44,7 @@ def main():
         _ = np.asarray(d[:1])
         return d
 
-    for n_streams in (1, 2, 4, 8):
+    for n_streams in (8, 16, 32):
         chunks = [
             rng.integers(0, 2**32, chunk_elems, dtype=np.uint32)
             for _ in range(n_streams)

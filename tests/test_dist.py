@@ -62,6 +62,27 @@ def test_dist_matches_single_chip(data_dir):
     np.testing.assert_array_equal(a.histogram, b.histogram)
 
 
+def test_single_device_per_batch_wire(data_dir):
+    """n == 1 engines stream PER-BATCH transfers assembled by a device-
+    side stack (the production single-chip wire path); results must be
+    identical to the simple engine, including a padded partial final
+    group."""
+    import jax
+
+    from dsk_tpu.dist.engine import AXIS, Mesh
+    from dsk_tpu.engine.counter import CountEngine
+
+    mesh = Mesh(np.array(jax.devices()[:1]), (AXIS,))
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    a = DistCountEngine(
+        27, mesh=mesh, batch_rows=64, row_len=128, table_cap=1 << 17,
+        buf_batches=3,  # stream length not divisible by 3: pads the tail
+    ).count(uri)
+    b = CountEngine(27, batch_rows=64, row_len=128).count(uri)
+    assert result_as_dict(a) == result_as_dict(b)
+    np.testing.assert_array_equal(a.histogram, b.histogram)
+
+
 def test_dist_overflow_detection(data_dir):
     # absurdly small send capacity must raise, not silently drop kmers
     eng = DistCountEngine(
