@@ -249,12 +249,20 @@ def merge_sorted_planes(
 
 def _run_heads(
     skeys: tuple[jax.Array, ...], sweights: jax.Array
-) -> tuple[jax.Array, jax.Array]:
-    """Run heads + per-run totals of an already key-sorted plane set.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Run heads + exclusive weight prefix of a key-sorted plane set.
 
-    Returns (keep, run_total): keep marks the first row of each run of a
-    real (non-sentinel) key; run_total holds that run's summed weight at
-    every row (callers read it at keep rows)."""
+    Returns (keep, csum_before, total_weight): keep marks the first row
+    of each run of a real (non-sentinel) key; csum_before[i] is the sum
+    of weights of rows BEFORE i.  Run totals are not materialized here:
+    compacted run heads sit in global order, so run i's total is simply
+    csum_before[head_{i+1}] - csum_before[head_i] (the next run starts
+    where this one ends; total_weight closes the last run) — see
+    _counts_from_prefix.  One cumsum replaces the old cumsum +
+    reverse-cummin-over-run-ends sweep (the cummin and its masks were
+    ~40% of the dedup scan cost at 67M rows, scripts/measure_scans.py).
+    Total weight per call must stay < 2^31 (int32 csum).
+    """
     W = len(skeys)
     N = skeys[0].shape[0]
     is_new = jnp.zeros((N,), jnp.bool_).at[0].set(True)
@@ -262,17 +270,11 @@ def _run_heads(
     for w in range(W):
         neq = neq | (skeys[w][1:] != skeys[w][:-1])
     is_new = is_new.at[1:].set(neq)
-    is_end = jnp.concatenate([neq, jnp.ones((1,), jnp.bool_)])
 
-    # run total for the FIRST row of each run, via prefix sums:
-    # csum is monotone (weights >= 0), so the nearest run-end to the right
-    # is the reverse cummin over end rows.
-    csum = jnp.cumsum(sweights)
-    INT_MAX = jnp.int32(2**31 - 1)
-    end_csum = jax.lax.cummin(
-        jnp.where(is_end, csum, INT_MAX), axis=0, reverse=True
-    )
-    run_total = (end_csum - (csum - sweights)).astype(jnp.int32)
+    sw = sweights.astype(jnp.int32)
+    csum = jnp.cumsum(sw)
+    csum_before = csum - sw
+    total_weight = csum[-1]
 
     # a run is a real key iff not every word is SENTINEL (a canonical kmer
     # can have word0 == 0xFFFFFFFF — e.g. a G^16 prefix when 16 | k — but
@@ -281,7 +283,25 @@ def _run_heads(
     for w in range(W):
         is_sent = is_sent & (skeys[w] == SENTINEL)
     keep = is_new & ~is_sent
-    return keep, run_total
+    return keep, csum_before, total_weight
+
+
+def _counts_from_prefix(
+    ckey_sorted: jax.Array, cb_sorted: jax.Array, total_weight: jax.Array,
+    n_valid: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-run totals for COMPACTED run heads, by prefix-sum difference.
+
+    ckey_sorted: head positions ascending, dead rows keyed >= n_valid;
+    cb_sorted: each head's csum_before.  Run i's rows end where run i+1
+    begins, so its total = cb[i+1] - cb[i]; the last live head closes at
+    total_weight (trailing dead rows all carry weight 0).  Returns
+    (live, counts)."""
+    live = ckey_sorted < n_valid
+    nxt_cb = jnp.concatenate([cb_sorted[1:], total_weight[None]])
+    nxt_live = jnp.concatenate([live[1:], jnp.zeros((1,), jnp.bool_)])
+    closing = jnp.where(nxt_live, nxt_cb, total_weight)
+    return live, jnp.where(live, closing - cb_sorted, 0)
 
 
 def _dedup_sorted(
@@ -291,7 +311,7 @@ def _dedup_sorted(
     (the post-sort half of sum_by_key_planes)."""
     W = len(skeys)
     N = skeys[0].shape[0]
-    keep, run_total = _run_heads(skeys, sweights)
+    keep, csum_before, total_weight = _run_heads(skeys, sweights)
 
     # compaction by stable single-key sort: real run-heads to the front.
     # (A monotone-position scatter looks faster in isolation — ~0.1 ms for
@@ -299,13 +319,14 @@ def _dedup_sorted(
     # v5e: +138 ms per flush.  Keep the sort.)
     idx = jnp.arange(N, dtype=jnp.int32)
     ckey = jnp.where(keep, idx, N)
-    ops2 = (ckey,) + skeys + (run_total,)
+    ops2 = (ckey,) + skeys + (csum_before,)
     sorted2 = jax.lax.sort(ops2, num_keys=1)
-    live = sorted2[0] < N
+    live, counts = _counts_from_prefix(
+        sorted2[0], sorted2[1 + W], total_weight, N
+    )
     uniq_planes = tuple(
         jnp.where(live, sorted2[1 + w], SENTINEL) for w in range(W)
     )
-    counts = jnp.where(live, sorted2[1 + W], 0)
     n_uniq = jnp.sum(keep.astype(jnp.int32))
     return uniq_planes, counts, n_uniq
 
@@ -375,7 +396,7 @@ def sum_by_key_planes_capped(
             jnp.int32(0),
         )
 
-    keep, run_total = _run_heads(skeys, sweights)
+    keep, csum_before, total_weight = _run_heads(skeys, sweights)
     L = -(-N // S)
     NP = S * L
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -394,18 +415,26 @@ def sum_by_key_planes_capped(
     ops1 = (
         (deal(padded(ckey, N)),)
         + tuple(deal(padded(k, SENTINEL)) for k in skeys)
-        + (deal(padded(run_total, 0)),)
+        + (deal(padded(csum_before, 0)),)
     )
     s1 = jax.lax.sort(ops1, num_keys=1, dimension=-1)
     n_keep_seg = jnp.sum((s1[0] < N).astype(jnp.int32), axis=1)
     n_lost = jnp.sum(jnp.maximum(n_keep_seg - slack, 0))
     sliced = tuple(o[:, :slack].reshape(S * slack) for o in s1)
     s2 = jax.lax.sort(sliced, num_keys=1)
-    live = s2[0][:cap] < N
+    # counts by prefix diff over the FULL survivor list before slicing to
+    # cap (the entry at cap-1 needs its successor's csum_before).  When
+    # n_lost > 0, diffs spanning a lost head absorb its run — the counts
+    # are then wrong, which is safe ONLY because n_lost feeds the
+    # overflow valve and the whole run is retried, never emitted.
+    live_full, counts_full = _counts_from_prefix(
+        s2[0], s2[1 + W], total_weight, N
+    )
+    live = live_full[:cap]
     uniq = tuple(
         jnp.where(live, s2[1 + w][:cap], SENTINEL) for w in range(W)
     )
-    counts = jnp.where(live, s2[1 + W][:cap], 0)
+    counts = counts_full[:cap]
     n_uniq = jnp.sum(keep.astype(jnp.int32))
     return uniq, counts, n_uniq, n_lost
 

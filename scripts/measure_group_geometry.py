@@ -51,8 +51,8 @@ def main():
 
     if k == 31:
         configs = [
+            ("G32-cap1.5M", 32, (1 << 20) + (1 << 19)),
             ("G48-cap1.5M", 48, (1 << 20) + (1 << 19)),
-            ("G64-cap1.5M", 64, (1 << 20) + (1 << 19)),
         ]
     else:
         configs = [
