@@ -160,6 +160,13 @@ def main() -> None:
             "total_bases": total_bases,
             "elapsed_s": round(elapsed, 3),
             "stream_runs_s": runs,
+            # tunnel wire diagnostic: packed payload is 3 bits/base; when
+            # this is << 20 MB/s the streamed value measured the tunnel's
+            # weather, not the pipeline (PERF.md) — device_bases_per_s is
+            # the chip number
+            "wire_mb_per_s": round(
+                total_bases * 3 / 8 / (1 << 20) / elapsed, 1
+            ),
             "n_distinct": n_distinct,
             "distinct_kmers_per_s": round(n_distinct / elapsed, 1),
             "table_download_s": round(gather_s, 3),
