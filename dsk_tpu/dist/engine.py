@@ -1020,6 +1020,20 @@ class DistCountEngine:
                 cnt += 1
             yield from pad_items(cnt)
 
+        def raw_items(src):
+            """Per-BATCH items for the single-device wire path: raw
+            batches pass through unpacked and are packed ON the put pool
+            threads (the C packer releases the GIL), so the wire pack
+            parallelizes instead of serializing behind the reader on the
+            gen thread — the host pipeline's measured serial tail
+            (PERF.md, measure_host_pipeline.py: 105 Mbases/s plateau at
+            4 workers).  Pad items are pre-packed tuples."""
+            cnt = 0
+            for batch in src:
+                yield batch
+                cnt += 1
+            yield from pad_items(cnt)
+
         def groups(src):
             """Pack + stack G batches into one packed group (tail padded);
             the sharded / multi-process wire path."""
@@ -1093,7 +1107,7 @@ class DistCountEngine:
         per_batch_wire = single and not self.multi_process
 
         def timed_gen():
-            it = items(batches) if per_batch_wire else groups(batches)
+            it = raw_items(batches) if per_batch_wire else groups(batches)
             while True:
                 g0 = _time.perf_counter()
                 nxt = next(it, None)
@@ -1103,6 +1117,8 @@ class DistCountEngine:
                 yield nxt
 
         def put_item(it):
+            if not isinstance(it, tuple):  # raw Batch: pack on this pool
+                it = pack_one(it)
             words, bitmap, bids, bb, rr = it
             words_dev = jax.device_put(words, device0)
             bitmap_dev = jax.device_put(bitmap, device0)
