@@ -35,23 +35,52 @@ def main():
 
     k, rows, row_len = 31, 2048, 192  # planner-like geometry for 170bp reads
 
+    from dsk_tpu.io.prefetch import parallel_map, prefetch
+
+    def pack_one(b):
+        return pack_codes(np.ascontiguousarray(b.codes, np.uint8))
+
     for workers in (1, 2, 4, 8):
+        # serial-pack arrangement (pre round-2-final engine): pack on the
+        # consuming thread, behind the reader
         bank = open_bank(str(inp))
         t0 = time.perf_counter()
         n_bases = n_batches = 0
         for b in batch_iterator(
             bank, k, rows, row_len, n_workers=workers
         ):
-            words, bitmap = pack_codes(
-                np.ascontiguousarray(b.codes, np.uint8)
-            )
+            words, bitmap = pack_one(b)
             n_bases += b.n_bases
             n_batches += 1
             del words, bitmap
         dt = time.perf_counter() - t0
         log(
-            f"workers={workers}: {n_bases / 1e6:.0f} Mbases in {dt:.2f}s "
-            f"= {n_bases / dt / 1e6:.1f} Mbases/s ({n_batches} batches)"
+            f"workers={workers} serial-pack: {n_bases / 1e6:.0f} Mbases "
+            f"in {dt:.2f}s = {n_bases / dt / 1e6:.1f} Mbases/s "
+            f"({n_batches} batches)"
+        )
+
+        # pool-pack arrangement (the engine's count_stream shape): raw
+        # batches cross a bounded queue and pack on a put-pool analog
+        bank = open_bank(str(inp))
+        t0 = time.perf_counter()
+        n_bases = 0
+        src = prefetch(
+            batch_iterator(bank, k, rows, row_len, n_workers=workers),
+            depth=32,
+        )
+
+        def pack_keep(b):
+            out = pack_one(b)
+            return out, b.n_bases
+
+        for (words, bitmap), bb in parallel_map(pack_keep, src, workers=4):
+            n_bases += bb
+            del words, bitmap
+        dt = time.perf_counter() - t0
+        log(
+            f"workers={workers} pool-pack:   {n_bases / 1e6:.0f} Mbases "
+            f"in {dt:.2f}s = {n_bases / dt / 1e6:.1f} Mbases/s"
         )
 
 
