@@ -1143,7 +1143,11 @@ class DistCountEngine:
         # small thread pool, consumed in order.
         import os as _os
 
-        put_streams = int(_os.environ.get("DSK_TPU_PUT_STREAMS", "4"))
+        # default 16: the tunnel (and real NICs) multiplex parallel puts —
+        # measured 9 MB/s at 1 stream, 22-24 at 16, regression at 32
+        # (scripts/measure_h2d_streams.py); per-batch items are small so
+        # 16 threads stay fed.  Harmless on PCIe metal.
+        put_streams = int(_os.environ.get("DSK_TPU_PUT_STREAMS", "16"))
         from dsk_tpu.io.prefetch import parallel_map
 
         t0 = _time.perf_counter()
