@@ -108,11 +108,25 @@ def main() -> None:
     # benchmarks the window, not the pipeline.
     elapsed = float("inf")
     runs = []
+    wire_mb = total_bases * 3 / 8 / (1 << 20)
     for run in range(3):
         t0 = time.perf_counter()
         res = engine.count_stream(iter(batches), finalize=False)
         runs.append(round(time.perf_counter() - t0, 3))
         elapsed = min(elapsed, runs[-1])
+    # dead-window retry (CLAUDE.md tunnel-weather protocol): the tunnel
+    # has hour-long windows at 0.1-5 MB/s in which a wire-inclusive
+    # number measures the harness, not the pipeline.  If the best run's
+    # implied H2D rate is below 10 MB/s (healthy multiplexed ceiling is
+    # ~22), wait out the window once and take the overall best.
+    if wire_mb / elapsed < 10.0:
+        print("[bench] dead tunnel window, retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+        for run in range(2):
+            t0 = time.perf_counter()
+            res = engine.count_stream(iter(batches), finalize=False)
+            runs.append(round(time.perf_counter() - t0, 3))
+            elapsed = min(elapsed, runs[-1])
     n_distinct = int(res.info["n_distinct_device"])
 
     # device ceiling: fenced step reps on device-resident groups — the
