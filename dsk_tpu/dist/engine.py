@@ -1054,6 +1054,7 @@ class DistCountEngine:
 
         def put(group):
             words, bitmap, bids, bb, rr, cnt = group
+            wire_bytes[0] += words.nbytes + bitmap.nbytes + bids.nbytes
             if self.multi_process:
                 # this host's rows feed its own chips; the global group is
                 # assembled across processes without replication
@@ -1097,6 +1098,7 @@ class DistCountEngine:
         # Overlap means t_feed << t_gen+t_put when the device is the
         # bottleneck, and t_drain ~ 0 when the host is.
         sub = {"t_gen": 0.0, "t_put": 0.0, "t_feed": 0.0, "t_drain": 0.0}
+        wire_bytes = [0]  # H2D payload accounting (window-health diag)
 
         # single-device engines transfer per BATCH, not per group: the
         # step still consumes (G, ...) stacked arrays, but a tiny jitted
@@ -1120,6 +1122,7 @@ class DistCountEngine:
             if not isinstance(it, tuple):  # raw Batch: pack on this pool
                 it = pack_one(it)
             words, bitmap, bids, bb, rr = it
+            wire_bytes[0] += words.nbytes + bitmap.nbytes + bids.nbytes
             words_dev = jax.device_put(words, device0)
             bitmap_dev = jax.device_put(bitmap, device0)
             bids_dev = jax.device_put(bids, device0)
@@ -1214,6 +1217,16 @@ class DistCountEngine:
             "n_chips": plan.n,
             "t_stream": round(_time.perf_counter() - t0, 3),
             "t_sub": {k: round(v, 3) for k, v in sub.items()},
+            # implied H2D rate over the whole stream: << 20 MB/s through
+            # the axon tunnel means the run measured a degraded wire
+            # window, not the pipeline (PERF.md weather protocol)
+            "wire_mb": round(wire_bytes[0] / (1 << 20), 1),
+            "wire_mb_per_s": round(
+                wire_bytes[0]
+                / (1 << 20)
+                / max(_time.perf_counter() - t0, 1e-9),
+                1,
+            ),
         }
         if self.multi_process:
             from jax.experimental import multihost_utils
