@@ -254,6 +254,16 @@ class CountEngine:
             pending = []
             pending_items = 0
 
+        # host-side occurrence-volume guard: the flush cumsum
+        # (kmer/device._run_heads) totals all occurrences seen this pass
+        # (table counts + pending weights) in int32.  Valid windows are
+        # bounded by bases, and the pass filter keeps ~1/n_passes of
+        # them; 1.6e9 leaves hash-jitter margin under 2^31.  The dist
+        # engine has an exact device-side guard (CountVolumeOverflow);
+        # this engine is the small/per-bank path, a conservative host
+        # bound suffices.
+        occ_limit = 1_600_000_000 * max(n_passes, 1)
+
         for batch in batches:
             flat, weights = prepare_batch(
                 jnp.asarray(batch.codes),
@@ -267,6 +277,14 @@ class CountEngine:
             pending_items += flat.shape[0]
             n_bases += int(batch.n_bases)
             n_reads += int(batch.n_reads)
+            if n_bases > occ_limit:
+                from dsk_tpu.dist.engine import CountVolumeOverflow
+
+                raise CountVolumeOverflow(
+                    f"occurrence-volume overflow: {n_bases} bases "
+                    f"streamed in one pass would overflow the int32 "
+                    f"flush accumulator; more passes needed"
+                )
             if pending_items >= self.flush_items:
                 flush()
         flush()

@@ -29,6 +29,17 @@ SORT_SCRATCH_FACTOR = 6
 TABLE_FILL_TARGET = 0.8  # plan tables at 80% occupancy (hash-split jitter)
 MAX_TABLE_SLOTS = 1 << 25  # per-chip table ceiling: prefer passes beyond it
 
+# Per-chip per-pass OCCURRENCE budget: the flush accumulates run totals
+# with an int32 cumsum whose total equals all k-mer occurrences seen on
+# that chip in that pass (kmer/device.py _run_heads), so it must stay
+# < 2^31.  This is the reference's own planning variable — n_iters is
+# chosen from total k-mer VOLUME v, not from the distinct count
+# (doc/paper.tex:66-67: n_iters = ceil(v*b/D); "~826719 MB of kmers",
+# doc/human_log:4).  1.4e9 leaves ~1.53x headroom for hash-routing skew
+# across chips; the device-side wrap guard (CountVolumeOverflow) is the
+# backstop if skew exceeds it.
+OCC_BUDGET_PER_CHIP_PASS = 1_400_000_000
+
 
 @dataclass
 class ResourcePlan:
@@ -367,6 +378,11 @@ def plan_resources(
     n_passes = max(
         1, -(-per_chip_distinct // int(budget_slots * TABLE_FILL_TARGET))
     )
+    # volume constraint (reference n_iters semantics): per-chip per-pass
+    # occurrences ~ total windows / n_chips / n_passes must fit the
+    # int32 flush accumulator
+    per_chip_occ = -(-est_windows // max(n_chips, 1))
+    n_passes = max(n_passes, -(-per_chip_occ // OCC_BUDGET_PER_CHIP_PASS))
     per_pass = -(-per_chip_distinct // n_passes)
     table_cap = _round_capacity(int(per_pass / TABLE_FILL_TARGET) + 1)
     table_cap = min(table_cap, budget_slots * 2)

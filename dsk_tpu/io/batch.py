@@ -283,10 +283,19 @@ def parallel_batch_iterator(
     The bank is split into ReadUnits (plain files by byte range with
     record resync, gzip files whole — gunzip is inherently serial per
     member) dealt round-robin to workers; each worker streams its units
-    through _units_batch_stream into a bounded queue.  The native parser
-    releases the GIL inside ctypes calls, so workers genuinely overlap.
-    Batch order is nondeterministic; counting is order-invariant and
-    per-row bank_ids keep multi-bank semantics exact.
+    through _units_batch_stream into its OWN bounded queue, and the
+    consumer merges the queues round-robin (w0.b0, w1.b0, ..., w0.b1,
+    ...; exhausted workers drop out of the rotation).  The native parser
+    releases the GIL inside ctypes calls, so workers genuinely overlap —
+    the per-worker queues buffer ahead of the merge point, so the
+    round-robin costs head-of-line blocking only when a worker is
+    queue_depth batches slower than its peers.
+
+    Batch order is therefore DETERMINISTIC for a fixed (bank, k,
+    batch_rows, row_len, n_workers): the work-preserving overflow retry
+    (dist.engine count_stream resume_state) depends on this to skip
+    exactly the batches a snapshot already consumed.  Counting itself is
+    order-invariant and per-row bank_ids keep multi-bank semantics exact.
     """
     import queue as _queue
     import threading
@@ -303,11 +312,10 @@ def parallel_batch_iterator(
     n_workers = max(1, min(n_workers, len(units)))
     global_ids = getattr(bank, "global_ids", None)
 
-    q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
     errs: list[BaseException] = []
     _DONE = object()
 
-    def worker(worker_units: list[ReadUnit]):
+    def worker(worker_units: list[ReadUnit], q: _queue.Queue):
         try:
             for b in _units_batch_stream(
                 worker_units, k, batch_rows, row_len, use_native,
@@ -319,21 +327,25 @@ def parallel_batch_iterator(
         finally:
             q.put(_DONE)
 
+    queues: list[_queue.Queue] = []
     threads = []
     for w in range(n_workers):
+        q: _queue.Queue = _queue.Queue(maxsize=max(1, queue_depth))
         worker_units = units[w::n_workers]
         t = threading.Thread(
-            target=worker, args=(worker_units,), daemon=True
+            target=worker, args=(worker_units, q), daemon=True
         )
         t.start()
+        queues.append(q)
         threads.append(t)
-    done = 0
-    while done < n_workers:
-        item = q.get()
-        if item is _DONE:
-            done += 1
-            continue
-        yield item
+    live = list(queues)
+    while live:
+        for q in list(live):
+            item = q.get()
+            if item is _DONE:
+                live.remove(q)
+                continue
+            yield item
     for t in threads:
         t.join()
     if errs:

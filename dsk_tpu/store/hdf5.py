@@ -112,12 +112,67 @@ class OutputStore:
         kw = {"compression": "gzip"} if getattr(self, "_compress", False) and rec.shape[0] else {}
         self._f["dsk/solid"].create_dataset(str(idx), data=rec, **kw)
 
+    def append_solid_partition(
+        self, idx: int, kmers: np.ndarray, counts: np.ndarray
+    ) -> None:
+        """Append rows to partition dsk/solid/<idx>, creating it as a
+        RESIZABLE dataset on first use.
+
+        The bounded-memory output path (engine/run.py streaming sink)
+        writes each chip's table per PASS as it is gathered, so host
+        memory never holds the global distinct table (the reference
+        counts 2.7B kmers in exactly 4 GB because partitions stream to
+        disk, doc/paper.tex:106-115, doc/human_log:4,23).  Partition
+        row order is (pass, bucket, kmer) — ascending kmer within a
+        pass's bucket; `dsk2ascii -sorted` remains the normative
+        globally-sorted dump."""
+        w = int(self._f["dsk"].attrs["nb_words"])
+        n = int(np.asarray(kmers).shape[0])
+        rec = np.empty(n, dtype=_count_dtype(w))
+        rec["value"] = np.asarray(kmers, dtype=np.uint32).reshape(-1, w)
+        rec["abundance"] = np.asarray(counts, dtype=np.int32)
+        solid = self._f["dsk/solid"]
+        name = str(idx)
+        if name not in solid:
+            kw = (
+                {"compression": "gzip"}
+                if getattr(self, "_compress", False)
+                else {}
+            )
+            solid.create_dataset(
+                name, shape=(0,), maxshape=(None,),
+                dtype=_count_dtype(w), chunks=(1 << 16,), **kw
+            )
+        ds = solid[name]
+        off = ds.shape[0]
+        ds.resize((off + n,))
+        if n:
+            ds[off:] = rec
+
+    def partition_sizes(self) -> dict[int, int]:
+        solid = self._f["dsk/solid"]
+        return {int(name): int(solid[name].shape[0]) for name in solid}
+
+    def truncate_partitions(self, sizes: dict[int, int]) -> None:
+        """Shrink partitions to the recorded sizes (resume: drop partial
+        writes of a crashed pass); partitions absent from `sizes` are
+        deleted."""
+        solid = self._f["dsk/solid"]
+        for name in list(solid):
+            want = sizes.get(int(name))
+            if want is None:
+                del solid[name]
+            elif solid[name].shape[0] != want:
+                solid[name].resize((want,))
+
     def write_histogram(self, hist: np.ndarray) -> None:
         """hist indexed by abundance (index 0 unused) -> (index, count) pairs."""
         nb = hist.shape[0] - 1
         rec = np.empty(nb, dtype=_HISTO_DTYPE)
         rec["index"] = np.arange(1, nb + 1)
         rec["abundance"] = hist[1:]
+        if "histogram" in self._f["histogram"]:  # streaming-resume reopen
+            del self._f["histogram"]["histogram"]
         self._f["histogram"].create_dataset("histogram", data=rec)
 
     def set_run_info(self, props: dict) -> None:

@@ -113,7 +113,7 @@ def main():
         def f(bp, bw, tp, tw):
             W = len(bp)
             s = jax.lax.sort(bp + (bw,), num_keys=W)
-            uniq, counts, n_uniq = sum_by_key_presorted(
+            uniq, counts, n_uniq, _wrapped = sum_by_key_presorted(
                 tuple(s[:W]), s[W], tp, tw
             )
             return tuple(u[:cap] for u in uniq) + (counts[:cap], n_uniq)

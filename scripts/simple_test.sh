@@ -22,22 +22,25 @@ check() {  # name, status
 }
 
 # 1. single gzipped file, k=27, histogram vs k27.histo
+# (reference-exact invocation: DEFAULT abundance-min, -max-memory 200 —
+# /root/reference/scripts/simple_test.sh:36; the histogram must count
+# ALL distinct kmers regardless of the solidity threshold)
 $DSK -file $DATA/read50x_ref10K_e001.fasta.gz -kmer-size 27 \
-    -abundance-min 1 -out "$TMP/t1" -verbose 0
+    -out "$TMP/t1" -max-memory 200 -verbose 0
 $DSKDUMP -y -d histogram/histogram "$TMP/t1.h5" > "$TMP/t1.histo"
 diff -q "$TMP/t1.histo" $DATA/k27.histo > /dev/null
 check "one gzipped fasta file" $?
 
 # 2. multiple gzipped files (comma list) == same histogram
 $DSK -file $DATA/c1.fasta.gz,$DATA/c2.fasta.gz,$DATA/c3.fasta.gz,$DATA/c4.fasta.gz \
-    -kmer-size 27 -abundance-min 1 -out "$TMP/t2" -verbose 0
+    -kmer-size 27 -out "$TMP/t2" -max-memory 200 -verbose 0
 $DSKDUMP -y -d histogram/histogram "$TMP/t2.h5" > "$TMP/t2.histo"
 diff -q "$TMP/t2.histo" $DATA/k27.histo > /dev/null
 check "multiple gzipped fasta files" $?
 
 # 3. long reads, k=27 vs rlong.histo
-$DSK -file $DATA/longread.fasta -kmer-size 27 -abundance-min 1 \
-    -out "$TMP/t3" -verbose 0
+$DSK -file $DATA/longread.fasta -kmer-size 27 \
+    -out "$TMP/t3" -max-memory 200 -verbose 0
 $DSKDUMP -y -d histogram/histogram "$TMP/t3.h5" > "$TMP/t3.histo"
 diff -q "$TMP/t3.histo" $DATA/rlong.histo > /dev/null
 check "long reads" $?
@@ -55,8 +58,8 @@ N=$($DSK2ASCII -file "$TMP/t5.h5" -c -verbose 0 | wc -l)
 [ "$N" -eq 0 ]; check "kmer size > read size" $?
 
 # 6. reads with N: split-at-invalid semantics vs readN.histo
-$DSK -file $DATA/readN.fasta -kmer-size 20 -abundance-min 1 \
-    -out "$TMP/t6" -verbose 0
+$DSK -file $DATA/readN.fasta -kmer-size 20 \
+    -out "$TMP/t6" -max-memory 200 -verbose 0
 $DSKDUMP -y -d histogram/histogram "$TMP/t6.h5" > "$TMP/t6.histo"
 diff -q "$TMP/t6.histo" $DATA/readN.histo > /dev/null
 check "reads with N" $?

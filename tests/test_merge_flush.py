@@ -64,7 +64,7 @@ def test_presorted_equals_plain_sum_by_key(W):
         B, wb = _make_sorted(rng, nb, rng.integers(0, nb + 1), W, key_space=16)
         pa = tuple(jnp.asarray(A[:, w]) for w in range(W))
         pb = tuple(jnp.asarray(B[:, w]) for w in range(W))
-        u1, c1, n1 = jax.jit(sum_by_key_presorted)(
+        u1, c1, n1, _w1 = jax.jit(sum_by_key_presorted)(
             pa, jnp.asarray(wa), pb, jnp.asarray(wb)
         )
         allp = tuple(jnp.concatenate([pa[w], pb[w]]) for w in range(W))

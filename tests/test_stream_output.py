@@ -1,0 +1,169 @@
+"""Bounded-memory streaming output (VERDICT r2 missing #2).
+
+The dist engine's pass_sink path must hand tables to the store ONE CHIP
+AT A TIME (never materializing the global distinct table), pass appends
+must be a complete multi-pass merge (pass tables are disjoint), and the
+crash-resume truncation must drop partial writes.  Reference contract:
+"memory exactly M" (doc/paper.tex:106-115); 2.7B kmers counted in 4 GB
+(doc/human_log:4,23).
+"""
+
+import numpy as np
+import pytest
+
+from dsk_tpu import oracle
+from dsk_tpu.dist.engine import DistCountEngine
+from dsk_tpu.engine.run import RunParams, execute
+from dsk_tpu.kmer import codec
+from dsk_tpu.store.hdf5 import OutputStore
+
+
+def store_as_dict(path):
+    out = {}
+    with OutputStore.load(path) as store:
+        for v, a in store.iter_items():
+            out[v] = out.get(v, 0) + a
+    return out
+
+
+def test_pass_sink_bounded_chunks_and_parity(data_dir, tmp_path):
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    cap = 1 << 14
+    eng = DistCountEngine(
+        27, batch_rows=512, row_len=128, table_cap=cap, n_passes=2,
+    )
+    got = {}
+    max_chunk = 0
+
+    def sink(pass_id, pid, kk, cc):
+        nonlocal max_chunk
+        max_chunk = max(max_chunk, kk.shape[0])
+        assert kk.shape[0] <= cap  # one chip's table, never the union
+        for row, a in zip(kk, cc):
+            v = codec.words_to_value(row)
+            assert v not in got  # passes disjoint, chips disjoint
+            got[v] = int(a)
+
+    res = eng.count(uri, pass_sink=sink)
+    assert res.kmers.size == 0  # slim result: nothing materialized
+    assert got == oracle.count_bank(uri, 27)
+    assert max_chunk > 0
+    assert int(res.histogram[1:].sum()) == len(got)
+
+
+def _force_passes(monkeypatch, n):
+    """Pin the plan to n passes (the fixture is too small for the
+    mesh-aware planner to multipass it on its own)."""
+    import dsk_tpu.engine.run as runmod
+
+    orig = runmod.plan_resources
+
+    def plan(*a, **kw):
+        p = orig(*a, **kw)
+        p.n_passes = n
+        return p
+
+    monkeypatch.setattr(runmod, "plan_resources", plan)
+
+
+def test_execute_streaming_multipass_matches_oracle(
+    data_dir, tmp_path, monkeypatch
+):
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    _force_passes(monkeypatch, 3)
+    params = RunParams(
+        file=uri, kmer_size=27, abundance_min=1,
+        out=str(tmp_path / "mp"), verbose=0, batch_rows=512, row_len=128,
+    )
+    out = execute(params)
+    assert out.result.kmers.size == 0  # streaming: slim in-memory result
+    expect = oracle.count_bank(uri, 27)
+    assert store_as_dict(out.h5_path) == expect
+    assert out.n_solid == len(expect)
+    assert out.info["config"]["nb_passes"] >= 2
+
+
+def test_streaming_solidity_threshold(data_dir, tmp_path):
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    params = RunParams(
+        file=uri, kmer_size=27, abundance_min=3,
+        out=str(tmp_path / "s"), verbose=0, batch_rows=512, row_len=128,
+    )
+    out = execute(params)
+    expect = {
+        v: a for v, a in oracle.count_bank(uri, 27).items() if a >= 3
+    }
+    assert store_as_dict(out.h5_path) == expect
+    assert out.n_solid == len(expect)
+    # histogram still counts ALL distinct kmers (reference semantics)
+    full = oracle.count_bank(uri, 27)
+    assert int(out.result.histogram[1:].sum()) == len(full)
+
+
+def test_truncate_partitions_drops_partial_pass(tmp_path):
+    path = str(tmp_path / "t.h5")
+    store = OutputStore.create(path, 15)
+    k0 = np.arange(8, dtype=np.uint32).reshape(8, 1)
+    store.append_solid_partition(0, k0, np.ones(8, np.int32))
+    store.append_solid_partition(1, k0[:4], np.ones(4, np.int32))
+    sizes = store.partition_sizes()
+    assert sizes == {0: 8, 1: 4}
+    # partial later-pass writes: more rows in 0, a brand-new partition 2
+    store.append_solid_partition(0, k0[:3] + 100, np.ones(3, np.int32))
+    store.append_solid_partition(2, k0[:2], np.ones(2, np.int32))
+    store.truncate_partitions(sizes)
+    assert store.partition_sizes() == sizes
+    store.close()
+    with OutputStore.load(path) as s2:
+        parts = list(s2.iter_solid())
+        assert parts[0][0].shape[0] == 8
+        assert (parts[0][0].reshape(-1) == np.arange(8)).all()
+
+
+def test_streaming_resume_skips_done_passes(data_dir, tmp_path, monkeypatch):
+    """Crash after pass 0 (streaming store + checkpoint on disk), then
+    resume: only the remaining passes are recounted and the final store
+    matches the oracle."""
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    _force_passes(monkeypatch, 3)
+    common = dict(
+        file=uri, kmer_size=27, abundance_min=1,
+        out=str(tmp_path / "r"), verbose=0, batch_rows=512, row_len=128,
+    )
+
+    class _Crash(Exception):
+        pass
+
+    orig = DistCountEngine.count_stream
+    calls = []
+
+    def crashing(self, *a, **kw):
+        calls.append(kw.get("pass_id", 0))
+        if len(calls) == 2:  # let pass 0 finish, die inside pass 1
+            raise _Crash()
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DistCountEngine, "count_stream", crashing)
+    with pytest.raises(_Crash):
+        execute(RunParams(**common))
+    monkeypatch.setattr(DistCountEngine, "count_stream", orig)
+
+    import os
+
+    ck = RunParams(**common).out_prefix() + ".ckpt.h5"
+    assert os.path.exists(ck)
+
+    recounted = []
+
+    def counting(self, *a, **kw):
+        recounted.append(kw.get("pass_id", 0))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DistCountEngine, "count_stream", counting)
+    out = execute(RunParams(resume=True, **common))
+    n_passes = out.info["config"]["nb_passes"]
+    assert n_passes >= 2
+    assert 0 not in recounted  # pass 0 came from the checkpointed store
+    assert len(recounted) == n_passes - 1
+    assert store_as_dict(out.h5_path) == oracle.count_bank(uri, 27)
+    assert not os.path.exists(ck)

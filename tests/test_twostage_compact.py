@@ -40,7 +40,7 @@ def test_capped_matches_monolithic(w, segments):
     wd = jnp.asarray(wts)
 
     uniq_m, counts_m, n_uniq_m = sum_by_key_planes(planes, wd)
-    uniq_c, counts_c, n_uniq_c, n_lost = sum_by_key_planes_capped(
+    uniq_c, counts_c, n_uniq_c, n_lost, _wrapped = sum_by_key_planes_capped(
         planes, wd, cap, segments=segments
     )
     assert int(n_lost) == 0
@@ -64,7 +64,7 @@ def test_capped_mono_fallback_small_shapes():
     rng = np.random.default_rng(0)
     rows, wts = _random_rows(rng, 512, 2, n_distinct=100)
     planes = tuple(jnp.asarray(np.ascontiguousarray(rows[:, i])) for i in range(2))
-    uniq, counts, n_uniq, n_lost = sum_by_key_planes_capped(
+    uniq, counts, n_uniq, n_lost, _wrapped = sum_by_key_planes_capped(
         planes, jnp.asarray(wts), 256, segments=64
     )
     assert int(n_lost) == 0
@@ -86,7 +86,7 @@ def test_capped_counts_slack_loss():
     rows = np.unique(rows, axis=0)  # all distinct
     n = rows.shape[0]
     planes = tuple(jnp.asarray(np.ascontiguousarray(rows[:, i])) for i in range(2))
-    uniq, counts, n_uniq, n_lost = sum_by_key_planes_capped(
+    uniq, counts, n_uniq, n_lost, _wrapped = sum_by_key_planes_capped(
         planes, jnp.ones(n, jnp.int32), cap, segments=segments
     )
     slack = 2 * (-(-cap // segments))
@@ -116,7 +116,7 @@ def test_capped_prefix_live_no_loss():
     wts[:n_live] = 1
     planes = tuple(jnp.asarray(np.ascontiguousarray(rows[:, i])) for i in range(2))
     cap = 1024  # heads (~700) <= cap, but they all sit in the prefix
-    uniq, counts, n_uniq, n_lost = sum_by_key_planes_capped(
+    uniq, counts, n_uniq, n_lost, _wrapped = sum_by_key_planes_capped(
         planes, jnp.asarray(wts), cap, segments=8
     )
     # contiguous segments would cram ~88 heads into each of the first
