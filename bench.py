@@ -162,6 +162,84 @@ def main() -> None:
     gather_s = time.perf_counter() - t1
     assert kmers.shape[0] == n_distinct
 
+    def fenced_ceiling(eng, cd_, md_, bd_, passes=(0,)):
+        """Fenced device-resident step reps: bases/s with the H2D wire
+        excluded (the number that holds on PCIe metal).  Each pass gets
+        FRESH tables (multipass semantics: per-pass tables are
+        re-initialized; the init fill is part of the timed cost)."""
+        best = float("inf")
+        checks = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            checks = []
+            for ps_ in passes:
+                tab_p, tab_c, over, tover = eng._init_state()
+                tab_p, tab_c, over, tover = eng._step(
+                    cd_, md_, bd_, tab_p, tab_c, over, tover,
+                    jnp.int32(ps_),
+                )
+                checks.append((over, tover))
+            fence(checks[-1][0])
+            if rep:
+                best = min(best, time.perf_counter() - t0)
+        for over, tover in checks:  # near-capacity shapes must finish
+            eng._check_overflow(over, tover)  # clean, no slack loss
+        return best
+
+    # --- k=63 device ceiling (BASELINE config 4: large-k multi-word
+    # kmers, W=4).  Same packed group (packed codes are k-independent);
+    # G16 == G32 at W=4 (PERF.md round-2-final), so reuse 16 batches.
+    engine63 = DistCountEngine(
+        63,
+        mesh=default_mesh(),
+        batch_rows=rows,
+        row_len=row_len,
+        buf_batches=16,
+        table_cap=(1 << 20) + (1 << 19),
+    )
+    engine63.compile(
+        progress=lambda m: print(f"[bench k63] {m}", file=sys.stderr)
+    )
+    cd16, md16, bd16 = cd[:16], md[:16], bd[:16]
+    fence(cd16)
+    k63_bases = sum(b.n_bases for b in grp[:16])
+    t63 = fenced_ceiling(engine63, cd16, md16, bd16)
+    k63_device_bases_per_s = k63_bases / t63
+
+    # --- multipass near-capacity device ceiling (VERDICT r2 weak #6:
+    # the comfortable single-pass 0.7-fill shape was the only bench).
+    # 1.4 Mbase genome => ~1.35M distinct, ~0.67M per pass at
+    # n_passes=2 vs a 0.75M cap = ~0.9 fill: the two-stage compaction
+    # slack valve is live, and both pass filters run.
+    global GENOME_SIZE
+    saved_genome = GENOME_SIZE
+    GENOME_SIZE = (1 << 20) + (2 << 18)  # 1.4 Mbases
+    mp_batches = make_batches(32, rows, row_len, seed=7)
+    GENOME_SIZE = saved_genome
+    engine_mp = DistCountEngine(
+        k,
+        mesh=default_mesh(),
+        batch_rows=rows,
+        row_len=row_len,
+        buf_batches=32,
+        table_cap=768 << 10,
+        n_passes=2,
+    )
+    engine_mp.compile(
+        progress=lambda m: print(f"[bench mp] {m}", file=sys.stderr)
+    )
+    wsm, msm = zip(*(pack_codes(b.codes) for b in mp_batches))
+    cdm = jax.device_put(np.stack(wsm), d0)
+    mdm = jax.device_put(np.stack(msm), d0)
+    bdm = jax.device_put(
+        np.stack([b.bank_ids for b in mp_batches]), d0
+    )
+    fence(cdm)
+    mp_bases = sum(b.n_bases for b in mp_batches)
+    t_mp = fenced_ceiling(engine_mp, cdm, mdm, bdm, passes=(0, 1))
+    # both passes over the same bases = one logical multipass count
+    mp_device_bases_per_s = mp_bases / t_mp
+
     bases_per_s = total_bases / elapsed
     result = {
         "metric": "count_bases_per_s_per_chip_k31",
@@ -185,6 +263,16 @@ def main() -> None:
             "distinct_kmers_per_s": round(n_distinct / elapsed, 1),
             "table_download_s": round(gather_s, 3),
             "device_bases_per_s": round(device_bases_per_s, 1),
+            # BASELINE config 4 (large-k): k=63 W=4 fenced device ceiling
+            "k63_device_bases_per_s": round(k63_device_bases_per_s, 1),
+            "k63_vs_baseline": round(
+                k63_device_bases_per_s / CPU_BASELINE_BASES_PER_S, 2
+            ),
+            # near-capacity 2-pass shape (both pass filters + the
+            # two-stage compaction slack valve live, ~0.9 table fill)
+            "multipass2_device_bases_per_s": round(
+                mp_device_bases_per_s, 1
+            ),
             "end_to_end_bases_per_s": round(
                 total_bases / (elapsed + gather_s), 1
             ),
