@@ -213,7 +213,10 @@ def main() -> None:
     # slack valve is live, and both pass filters run.
     global GENOME_SIZE
     saved_genome = GENOME_SIZE
-    GENOME_SIZE = (1 << 20) + (2 << 18)  # 1.4 Mbases
+    # 1.44 Mbase genome => 1,441,7xx distinct, ~721K per pass vs the
+    # 786,432 cap = 0.92 fill (measured split jitter ~±900; the first
+    # attempt at 1.57 Mbases landed pass 1 at 786,905 — 473 OVER cap)
+    GENOME_SIZE = (1 << 20) + (3 << 17)
     mp_batches = make_batches(32, rows, row_len, seed=7)
     GENOME_SIZE = saved_genome
     engine_mp = DistCountEngine(

@@ -665,7 +665,64 @@ class DistCountEngine:
                     )
                     new_c = counts[: plan.table_cap]
                     return buf_p, buf_c, new_p, new_c, over, tover
-                from dsk_tpu.kmer.device import sum_by_key_planes_capped
+                from dsk_tpu.kmer.device import (
+                    sum_by_key_planes_capped,
+                    sum_by_key_presorted,
+                )
+
+                if n == 1:
+                    # WEIGHTLESS flush sort (PERF.md round 3): the
+                    # single-chip fill path appends UNIT weights and
+                    # both the extractor and the pass filter sentinel-
+                    # mask dead windows, so liveness (= NOT all-words-
+                    # sentinel; a real canonical kmer is never all-
+                    # sentinel — design invariant) IS the weight.  The
+                    # big sort therefore moves only the WK key planes
+                    # (8 B/row at k=31 instead of 12: the flush sort is
+                    # bandwidth-bound), weights are reconstructed from
+                    # the sorted keys, the buffer is compacted alone,
+                    # and the table folds in with a SMALL 3-operand
+                    # sort over 2*cap concatenated rows.  (First cut
+                    # folded the table with the bitonic-merge network
+                    # instead: k=31 ceiling rose 112.9 -> 130 but k=63
+                    # CRATERED to 45.7 Mbases/s — 22 merge stages over
+                    # (W+1) cap-sized operands re-learned round 2's
+                    # merge-flush lesson.  The flat fold restores k63.)
+                    s = jax.lax.sort(
+                        tuple(buf_p[w, 0] for w in range(WK)),
+                        num_keys=WK,
+                    )
+                    dead = s[0] == SENTINEL
+                    for w in range(1, WK):
+                        dead = dead & (s[w] == SENTINEL)
+                    sweights = 1 - dead.astype(jnp.int32)
+                    buniq, bcounts, bn_uniq, n_lost, _bw = (
+                        sum_by_key_planes_capped(
+                            s, sweights, plan.table_cap,
+                            segments=self.compact_segments,
+                            presorted=True,
+                        )
+                    )  # buffer csum <= buf rows << 2^31: _bw never set
+                    planes = tuple(
+                        jnp.concatenate([buniq[w], tab_p[w]])
+                        for w in range(WK)
+                    )
+                    weights = jnp.concatenate([bcounts, tab_c])
+                    uniq, counts, n_uniq, _fl, wrapped = (
+                        sum_by_key_planes_capped(
+                            planes, weights, plan.table_cap, segments=0
+                        )
+                    )
+                    tover = tover + (
+                        (
+                            (n_uniq > plan.table_cap)
+                            | (bn_uniq > plan.table_cap)
+                            | (n_lost > 0)
+                        ).astype(jnp.int32)
+                        + (wrapped << WRAP_SHIFT)
+                    )[None]
+                    new_p = jnp.stack(uniq, axis=0)
+                    return buf_p, buf_c, new_p, counts, over, tover
 
                 planes = tuple(
                     jnp.concatenate([buf_p[w, 0], tab_p[w]])
@@ -891,12 +948,29 @@ class DistCountEngine:
 
                 return jax.make_array_from_callback(shape, sharding, cb)
         else:
-            # host numpy + one H2D put: an eager jnp.full here would
-            # dispatch a remote device program per array (a ~2 s compile
-            # through the tunnel the first time, plus a device->device
-            # move for the re-sharding) — H2D runs at ~900 MB/s instead
-            def full(shape, sharding, value, dtype):
-                return jax.device_put(np.full(shape, value, dtype), sharding)
+            # ONE jitted device-side fill for all four arrays: host
+            # numpy + device_put costs a (W+1)*cap*4-byte H2D transfer
+            # through the tunnel (~30 MB at k=63 — measured as a fake
+            # 1.9x "regression" in bench round 3 when the init landed
+            # inside a timed region, and real multipass runs pay it per
+            # pass); per-array EAGER jnp.full would instead dispatch a
+            # remote compile per array.  A single jit = one cached
+            # compile, zero wire, HBM-speed fills.
+            if not hasattr(self, "_init_fn"):
+                n_cap = plan.n * plan.table_cap
+
+                def mk():
+                    return (
+                        jnp.full((W, n_cap), SENTINEL, jnp.uint32),
+                        jnp.zeros((n_cap,), jnp.int32),
+                        jnp.zeros((plan.n,), jnp.int32),
+                        jnp.zeros((plan.n,), jnp.int32),
+                    )
+
+                self._init_fn = jax.jit(
+                    mk, out_shardings=(sh_p, sh_b, sh_b, sh_b)
+                )
+            return self._init_fn()
 
         tab_p = full((W, plan.n * plan.table_cap), sh_p, SENTINEL, np.uint32)
         tab_c = full((plan.n * plan.table_cap,), sh_b, 0, np.int32)

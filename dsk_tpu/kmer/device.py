@@ -369,6 +369,7 @@ def sum_by_key_planes_capped(
     weights: jax.Array,
     cap: int,
     segments: int = 0,
+    presorted: bool = False,
 ) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array, jax.Array]:
     """sum_by_key_planes with a bounded output and two-stage compaction.
 
@@ -401,12 +402,21 @@ def sum_by_key_planes_capped(
     Returns (uniq_planes (cap,)*W, counts (cap,), n_uniq, n_lost,
     wrapped) — wrapped flags int32 occurrence-cumsum overflow
     (_wrap_flag; counts are garbage when set, callers must raise).
+
+    presorted=True skips the internal key sort: planes must already be
+    key-sorted and weights aligned — the weightless-flush path sorts
+    the key planes ALONE (unit weights are reconstructed from liveness
+    after the sort, saving 1/3 of the sorted bytes at k=31; PERF.md
+    round 3) and hands the sorted planes here for the compaction.
     """
     W = len(planes)
     N = planes[0].shape[0]
-    ops = planes + (weights.astype(jnp.int32),)
-    sorted_ops = jax.lax.sort(ops, num_keys=W)
-    skeys, sweights = tuple(sorted_ops[:W]), sorted_ops[W]
+    if presorted:
+        skeys, sweights = tuple(planes), weights.astype(jnp.int32)
+    else:
+        ops = planes + (weights.astype(jnp.int32),)
+        sorted_ops = jax.lax.sort(ops, num_keys=W)
+        skeys, sweights = tuple(sorted_ops[:W]), sorted_ops[W]
     S = segments
     slack = 0 if S <= 1 else min(-(-N // S), 2 * (-(-cap // S)))
     if S <= 1 or S * slack >= N // 2:

@@ -1,0 +1,205 @@
+"""Gbase-class TPU validation run (VERDICT r2 next-item 3).
+
+One synthetic ~1.02 Gbase FASTA (16 Mbase genome, 62x coverage,
+~16M distinct 31-mers) driven twice through the FULL execute() stack on
+the real chip:
+
+  run A ("clean"): planner-chosen ~3 passes, deliberately tight
+         -max-disk (forces the batch-cache abort-and-reread path),
+         streaming bounded-memory output, checkpoints on.
+  run B ("valve"): same input, table_cap shrunk to 0.6x of plan (via a
+         plan_resources wrapper) => TableOverflow mid-pass => the retry
+         valve doubles passes and recounts; finishes clean at ~6 passes.
+
+Checks:
+  1. A == B: identical histograms AND identical full (kmer, count)
+     stores (different pass decompositions + an overflow retry must not
+     change a single count — the at-scale identity the 100 Mbase soak
+     checked at 1-vs-3 passes, now at 10x size with the round-3
+     streaming-output/volume-planner/retry stack in the loop).
+  2. Phase timers + plan + store sizes recorded (PERF.md material).
+
+Reference tier analog: /root/reference/doc/figure-1/ecoli_log:12
+(749 Mbases) and droso_log (1.37 Gbases).
+
+Run: python scripts/validate_gbase.py [--bases 1024] (Mbases; smaller
+for smoke).  Writes everything under /tmp/gbase.  Protocol per
+CLAUDE.md: tune_malloc, warmup fetch, one process, stderr progress.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+GENOME_MB = 16  # Mbases of genome; distinct ~= genome size
+READ_LEN = 126
+
+
+def log(msg: str) -> None:
+    print(f"[gbase] {msg}", file=sys.stderr, flush=True)
+
+
+def gen_input(path: str, total_mbases: int, seed: int = 0) -> None:
+    import numpy as np
+
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        log(f"input exists: {path} ({os.path.getsize(path)>>20} MB)")
+        return
+    rng = np.random.default_rng(seed)
+    G = GENOME_MB << 20
+    genome = rng.integers(0, 4, G, dtype=np.uint8)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    n_reads = (total_mbases << 20) // READ_LEN
+    t0 = time.perf_counter()
+    CH = 200_000
+    with open(path, "wb", buffering=1 << 22) as f:
+        done = 0
+        while done < n_reads:
+            m = min(CH, n_reads - done)
+            starts = rng.integers(0, G - READ_LEN, m)
+            mat = acgt[genome[starts[:, None] + np.arange(READ_LEN)]]
+            rows = np.empty((m, READ_LEN + 1), np.uint8)
+            rows[:, :READ_LEN] = mat
+            rows[:, READ_LEN] = ord("\n")
+            heads = "".join(
+                f">r{done + i}\n" for i in range(m)
+            ).encode()
+            # interleave header/sequence: build per-read byte chunks
+            seqs = rows.tobytes()
+            out = bytearray()
+            off = 0
+            hlines = heads.split(b"\n")
+            for i in range(m):
+                out += b">" + hlines[i][1:] + b"\n"
+                out += seqs[off : off + READ_LEN + 1]
+                off += READ_LEN + 1
+            f.write(out)
+            done += m
+            if done % (CH * 10) == 0:
+                log(f"gen: {done}/{n_reads} reads")
+    log(
+        f"generated {n_reads} reads x {READ_LEN}bp = "
+        f"{n_reads*READ_LEN>>20} Mbases in {time.perf_counter()-t0:.0f}s"
+    )
+
+
+def load_store(path):
+    import numpy as np
+
+    from dsk_tpu.store.hdf5 import OutputStore
+
+    ks, cs = [], []
+    with OutputStore.load(path) as store:
+        for kk, cc in store.iter_solid():
+            if kk.shape[0]:
+                ks.append(kk.reshape(kk.shape[0], -1))
+                cs.append(cc)
+        rec = store._f["histogram/histogram"][:]
+        hist = np.stack([rec["index"], rec["abundance"]])
+    k = np.concatenate(ks) if ks else np.empty((0, 2), np.uint32)
+    c = np.concatenate(cs) if cs else np.empty((0,), np.int32)
+    order = np.lexsort(tuple(k[:, w] for w in range(k.shape[1] - 1, -1, -1)))
+    return k[order], c[order], hist
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dsk_tpu.utils.hostmem import tune_malloc
+
+    tune_malloc()
+    import numpy as np
+
+    total_mb = 1024
+    if "--bases" in sys.argv:
+        total_mb = int(sys.argv[sys.argv.index("--bases") + 1])
+
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    x = jax.device_put(np.arange(8, dtype=np.int32), dev)
+    assert int(np.asarray(x)[3]) == 3
+    log("warmup ok")
+
+    os.makedirs("/tmp/gbase", exist_ok=True)
+    fasta = "/tmp/gbase/input.fasta"
+    gen_input(fasta, total_mb)
+
+    import dsk_tpu.engine.run as runmod
+    from dsk_tpu.engine.run import RunParams, execute
+
+    results = {}
+
+    def run(tag: str, shrink: float | None, **kw):
+        orig = runmod.plan_resources
+
+        def plan(*a, **kws):
+            p = orig(*a, **kws)
+            if shrink is not None:
+                p.table_cap = int(p.table_cap * shrink)
+            log(
+                f"[{tag}] plan: passes={p.n_passes} cap={p.table_cap} "
+                f"G={p.buf_batches} est_distinct={p.est_distinct}"
+            )
+            return p
+
+        runmod.plan_resources = plan
+        t0 = time.perf_counter()
+        try:
+            out = execute(RunParams(
+                file=fasta, kmer_size=31, abundance_min=3,
+                out=f"/tmp/gbase/{tag}", verbose=2, histo=1, **kw,
+            ))
+        finally:
+            runmod.plan_resources = orig
+        wall = time.perf_counter() - t0
+        info = out.info
+        log(
+            f"[{tag}] DONE in {wall:.0f}s: n_solid={out.n_solid} "
+            f"passes={info['config']['nb_passes']} "
+            f"timers={info.get('time')}"
+        )
+        results[tag] = {
+            "wall_s": round(wall, 1),
+            "n_solid": out.n_solid,
+            "nb_passes": info["config"]["nb_passes"],
+            "nb_distinct": info["nb_distinct_kmers"],
+            "time": info.get("time"),
+            "h5": out.h5_path,
+            "h5_mb": round(os.path.getsize(out.h5_path) / (1 << 20), 1),
+        }
+        return out
+
+    # run A: clean, tight -max-disk (cache abort-and-reread path live)
+    run("a", None, max_memory=520, max_disk=150)
+    # run B: induced TableOverflow -> retry valve doubles passes
+    run("b", 0.6, max_memory=520)
+
+    log("comparing stores (host lexsort of both tables)...")
+    ka, ca, ha = load_store(results["a"]["h5"])
+    kb, cb, hb = load_store(results["b"]["h5"])
+    same_hist = (
+        ha.shape == hb.shape and bool((ha == hb).all())
+    )
+    same_tab = (
+        ka.shape == kb.shape
+        and bool((ka == kb).all())
+        and bool((ca == cb).all())
+    )
+    log(f"histogram identical: {same_hist}; table identical: {same_tab}")
+    results["identity"] = {
+        "histogram": same_hist,
+        "table": same_tab,
+        "rows": int(ka.shape[0]),
+    }
+    print(json.dumps(results, indent=1))
+    with open("/tmp/gbase/results.json", "w") as f:
+        json.dump(results, f, indent=1)
+    return 0 if (same_hist and same_tab) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
