@@ -665,10 +665,7 @@ class DistCountEngine:
                     )
                     new_c = counts[: plan.table_cap]
                     return buf_p, buf_c, new_p, new_c, over, tover
-                from dsk_tpu.kmer.device import (
-                    sum_by_key_planes_capped,
-                    sum_by_key_presorted,
-                )
+                from dsk_tpu.kmer.device import sum_by_key_planes_capped
 
                 if n == 1:
                     # WEIGHTLESS flush sort (PERF.md round 3): the
@@ -692,17 +689,15 @@ class DistCountEngine:
                         tuple(buf_p[w, 0] for w in range(WK)),
                         num_keys=WK,
                     )
-                    dead = s[0] == SENTINEL
-                    for w in range(1, WK):
-                        dead = dead & (s[w] == SENTINEL)
-                    sweights = 1 - dead.astype(jnp.int32)
-                    buniq, bcounts, bn_uniq, n_lost, _bw = (
-                        sum_by_key_planes_capped(
-                            s, sweights, plan.table_cap,
-                            segments=self.compact_segments,
-                            presorted=True,
-                        )
-                    )  # buffer csum <= buf rows << 2^31: _bw never set
+                    from dsk_tpu.kmer.device import compact_heads_unit
+
+                    # unit-weight compaction: no cumsum pass, and the
+                    # two-stage segment sorts carry (ckey, planes) only
+                    # — run totals come from head-position diffs
+                    buniq, bcounts, bn_uniq, n_lost = compact_heads_unit(
+                        tuple(s), plan.table_cap,
+                        segments=self.compact_segments,
+                    )
                     planes = tuple(
                         jnp.concatenate([buniq[w], tab_p[w]])
                         for w in range(WK)

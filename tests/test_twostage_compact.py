@@ -159,3 +159,76 @@ def test_dist_engine_two_stage_flush_oracle(tmp_path):
         for r, c in zip(res.kmers, res.counts)
     }
     assert got == oracle.count_bank(str(path), k)
+
+
+# ---- weightless-flush compaction (compact_heads_unit) ----
+
+import jax
+from dsk_tpu.kmer.device import SENTINEL, compact_heads_unit
+
+
+def _sorted_unit_rows(rng, n_live, n_total, w, n_distinct):
+    """Key-sorted unit-weight planes with a full-sentinel tail (the
+    weightless flush contract)."""
+    pool = np.unique(
+        rng.integers(0, 1 << 30, (n_distinct, w), dtype=np.uint32),
+        axis=0,
+    )
+    rows = pool[rng.integers(0, pool.shape[0], n_live)]
+    order = np.lexsort(tuple(rows[:, i] for i in range(w - 1, -1, -1)))
+    rows = rows[order]
+    full = np.full((n_total, w), SENTINEL, np.uint32)
+    full[:n_live] = rows
+    return full
+
+
+@pytest.mark.parametrize("w", [1, 2, 4])
+@pytest.mark.parametrize("segments", [0, 8])
+def test_compact_heads_unit_matches_general(w, segments):
+    rng = np.random.default_rng(3)
+    n_live, n_total, cap = 3000, 4096, 1024
+    full = _sorted_unit_rows(rng, n_live, n_total, w, n_distinct=40)
+    planes = tuple(
+        jnp.asarray(np.ascontiguousarray(full[:, i])) for i in range(w)
+    )
+    weights = jnp.asarray((np.arange(n_total) < n_live).astype(np.int32))
+
+    uniq_g, counts_g, n_uniq_g = sum_by_key_planes(planes, weights)
+    uniq_u, counts_u, n_uniq_u, n_lost = jax.jit(
+        compact_heads_unit, static_argnums=(1, 2)
+    )(planes, cap, segments)
+    assert int(n_lost) == 0
+    assert int(n_uniq_u) == int(n_uniq_g)
+    n = int(n_uniq_g)
+    for i in range(w):
+        assert (np.asarray(uniq_u[i][:n]) == np.asarray(uniq_g[i][:n])).all()
+    assert (np.asarray(counts_u[:n]) == np.asarray(counts_g[:n])).all()
+    # tail is dead
+    assert (np.asarray(counts_u[n:]) == 0).all()
+
+
+def test_compact_heads_unit_boundary_at_cap():
+    """The head at cap-1 must get its correct count (its successor's
+    position lives beyond the cap slice)."""
+    n_distinct = 64
+    reps = 3
+    rows = np.repeat(np.arange(n_distinct, dtype=np.uint32), reps)
+    planes = (jnp.asarray(rows),)
+    cap = 16  # < n_distinct: overflow, but in-cap counts must be right
+    uniq, counts, n_uniq, n_lost = compact_heads_unit(planes, cap, 0)
+    assert int(n_uniq) == n_distinct  # caller's valve fires on > cap
+    assert (np.asarray(counts) == reps).all()
+    assert (np.asarray(uniq[0]) == np.arange(cap)).all()
+
+
+def test_compact_heads_unit_counts_slack_loss():
+    rng = np.random.default_rng(5)
+    n = 4096
+    rows = np.unique(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+    planes = (jnp.asarray(np.sort(rows)),)
+    cap, segments = 256, 8  # slack = 2*32 << distinct: loss certain
+    uniq, counts, n_uniq, n_lost = compact_heads_unit(
+        planes, cap, segments
+    )
+    assert int(n_uniq) == rows.shape[0]
+    assert int(n_lost) > 0
