@@ -22,9 +22,16 @@
 
 #include <zlib.h>
 
+#include <condition_variable>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <new>
+#include <thread>
+#include <utility>
 
 namespace {
 
@@ -57,6 +64,8 @@ constexpr int MAX_ROW = 1 << 16;
 
 struct Handle {
     gzFile f = nullptr;
+    struct GzPipe* pipe = nullptr;  // threaded gz inflate (see below)
+    long pipe_off = 0;              // uncompressed offset served so far
     S state = S::START;
     // streaming chunker state for the current read
     uint8_t cur[MAX_ROW];
@@ -157,8 +166,11 @@ inline bool end_read(Handle* h, Batch* b) {
     return ok;
 }
 
+bool fill_from_pipe(Handle* h);
+
 inline bool fill(Handle* h) {
     if (h->eof) return false;
+    if (h->pipe) return fill_from_pipe(h);
     long off = gztell(h->f);
     int n = gzread(h->f, h->buf, IOBUF);
     if (n <= 0) {
@@ -252,19 +264,155 @@ static long resync_to_record(gzFile f, long start, bool fastq) {
     }
 }
 
+// ---- threaded gz inflate pipe ------------------------------------------
+//
+// A single-member gzip file is ONE ReadUnit (no random access), so one
+// reader thread used to pay inflate + parse SERIALLY — the measured
+// ~105 Mbases/s gz-ingest plateau (plain files byte-range-parallelize
+// to ~490; PERF.md round 3).  A whole-member libdeflate slurp was
+// measured first and won only ~5% (level-1 gzip inflates fast in zlib
+// too): the win is OVERLAP, not a faster inflate.  So gz handles run
+// zlib inflate on a PRODUCER THREAD into a bounded chunk pipe and the
+// parser consumes concurrently: ingest ~ max(inflate, parse) instead of
+// the sum, with O(PIPE_AHEAD) memory.  DSK_TPU_NO_GZ_PIPE=1 forces the
+// serial path (tests pin both paths row-identical).
+
+constexpr size_t PIPE_CHUNK = 4u << 20;
+constexpr size_t PIPE_AHEAD = 16;  // max chunks in flight (64 MB)
+
+struct GzPipe {
+    gzFile f = nullptr;
+    std::deque<std::pair<uint8_t*, size_t>> chunks;
+    size_t pos_in_front = 0;   // consumer offset into chunks.front()
+    bool done = false;
+    bool abort_flag = false;
+    int err = 0;
+    std::mutex mu;
+    std::condition_variable cv;
+    std::thread th;
+
+    void run() {
+        for (;;) {
+            uint8_t* c = static_cast<uint8_t*>(std::malloc(PIPE_CHUNK));
+            if (!c) {
+                std::lock_guard<std::mutex> g(mu);
+                err = 2;
+                done = true;
+                cv.notify_all();
+                return;
+            }
+            int n = gzread(f, c, (unsigned)PIPE_CHUNK);
+            std::unique_lock<std::mutex> g(mu);
+            if (n <= 0 || abort_flag) {
+                std::free(c);
+                if (n < 0) err = 2;
+                done = true;
+                cv.notify_all();
+                return;
+            }
+            chunks.emplace_back(c, (size_t)n);
+            cv.notify_all();
+            cv.wait(g, [&] {
+                return abort_flag || chunks.size() < PIPE_AHEAD;
+            });
+            if (abort_flag) {
+                done = true;
+                cv.notify_all();
+                return;
+            }
+        }
+    }
+
+    // copy up to cap bytes into out; 0 = EOF, -1 = error
+    int read(uint8_t* out, size_t cap) {
+        std::unique_lock<std::mutex> g(mu);
+        size_t got = 0;
+        while (got < cap) {
+            cv.wait(g, [&] { return !chunks.empty() || done; });
+            if (chunks.empty()) break;  // done and drained
+            auto& front = chunks.front();
+            size_t avail = front.second - pos_in_front;
+            size_t n = avail < cap - got ? avail : cap - got;
+            std::memcpy(out + got, front.first + pos_in_front, n);
+            got += n;
+            pos_in_front += n;
+            if (pos_in_front == front.second) {
+                std::free(front.first);
+                chunks.pop_front();
+                pos_in_front = 0;
+                cv.notify_all();  // producer may be waiting on AHEAD
+            }
+            if (got == cap) break;
+            // partial: loop (next chunk or wait for producer)
+        }
+        if (got == 0 && err) return -1;
+        return (int)got;
+    }
+
+    ~GzPipe() {
+        {
+            std::lock_guard<std::mutex> g(mu);
+            abort_flag = true;
+            cv.notify_all();
+        }
+        if (th.joinable()) th.join();
+        for (auto& c : chunks) std::free(c.first);
+        if (f) gzclose(f);
+    }
+};
+
+// Start a pipe for a real-gzip file (nullptr => use the plain path).
+static GzPipe* try_gz_pipe(const char* path) {
+    const char* off = std::getenv("DSK_TPU_NO_GZ_PIPE");
+    if (off && off[0] && off[0] != '0') return nullptr;
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) return nullptr;
+    uint8_t magic[2];
+    size_t n = std::fread(magic, 1, 2, fp);
+    std::fclose(fp);
+    if (n != 2 || magic[0] != 0x1f || magic[1] != 0x8b) return nullptr;
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    gzbuffer(f, IOBUF);
+    GzPipe* p = new (std::nothrow) GzPipe();
+    if (!p) {
+        gzclose(f);
+        return nullptr;
+    }
+    p->f = f;
+    p->th = std::thread([p] { p->run(); });
+    return p;
+}
+
+bool fill_from_pipe(Handle* h) {
+    int n = h->pipe->read(h->buf, IOBUF);
+    if (n <= 0) {
+        h->eof = true;
+        if (n < 0) h->error = 2;
+        return false;
+    }
+    h->buf_off = h->pipe_off;
+    h->buf_len = n;
+    h->buf_pos = 0;
+    h->pipe_off += n;
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
 
 void* fx_open(const char* path) {
-    gzFile f = gzopen(path, "rb");
-    if (!f) return nullptr;
-    gzbuffer(f, IOBUF);
     Handle* h = new (std::nothrow) Handle();
-    if (!h) {
-        gzclose(f);
+    if (!h) return nullptr;
+    h->pipe = try_gz_pipe(path);
+    if (h->pipe) return h;
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        delete h;
         return nullptr;
     }
+    gzbuffer(f, IOBUF);
     h->f = f;
     return h;
 }
@@ -320,6 +468,7 @@ void fx_close(void* hv) {
     Handle* h = static_cast<Handle*>(hv);
     if (!h) return;
     if (h->f) gzclose(h->f);
+    delete h->pipe;
     delete h;
 }
 

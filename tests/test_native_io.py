@@ -101,3 +101,32 @@ def test_native_end_to_end_count(data_dir):
     )
     expected = load_histo_fixture(data_dir / "k27.histo")
     assert {a: int(res.histogram[a]) for a in range(1, 10001)} == expected
+
+
+def test_gz_pipe_matches_serial(data_dir, monkeypatch):
+    """The threaded gz inflate pipe (producer thread + bounded chunk
+    queue) must be byte-identical to the serial zlib path it overlaps
+    (DSK_TPU_NO_GZ_PIPE=1 forces serial)."""
+    from dsk_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native reader not built")
+    from dsk_tpu.io.bank import open_bank
+    from dsk_tpu.io.batch import batch_iterator
+
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+
+    def collect():
+        out = []
+        for b in batch_iterator(open_bank(uri), 27, 64, 128):
+            out.append((b.n_rows, b.n_bases, b.n_reads, b.codes.copy()))
+        return out
+
+    monkeypatch.setenv("DSK_TPU_NO_GZ_PIPE", "1")
+    serial = collect()
+    monkeypatch.delenv("DSK_TPU_NO_GZ_PIPE")
+    piped = collect()
+    assert len(serial) == len(piped)
+    for (r1, b1, n1, c1), (r2, b2, n2, c2) in zip(serial, piped):
+        assert (r1, b1, n1) == (r2, b2, n2)
+        assert (c1 == c2).all()

@@ -167,3 +167,41 @@ def test_streaming_resume_skips_done_passes(data_dir, tmp_path, monkeypatch):
     assert len(recounted) == n_passes - 1
     assert store_as_dict(out.h5_path) == oracle.count_bank(uri, 27)
     assert not os.path.exists(ck)
+
+
+def test_streaming_peak_rss_independent_of_distinct(data_dir, tmp_path):
+    """The bounded-memory contract, probed: counting a 4x-larger
+    distinct set through the streaming sink must not grow peak RSS by
+    anywhere near the table-size ratio (the reference counts 2.7B kmers
+    in exactly 4 GB because partitions stream to disk,
+    doc/paper.tex:106-115).  ru_maxrss is a high-water mark, so the
+    small run is measured first and the assertion is one-sided with
+    generous slack for allocator noise."""
+    import resource
+
+    import dsk_tpu.oracle  # noqa: F401  (import before baseline RSS)
+
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+
+    def run(tag, cap, n_passes):
+        eng = DistCountEngine(
+            27, batch_rows=256, row_len=128, table_cap=cap,
+            n_passes=n_passes,
+        )
+        seen = [0]
+
+        def sink(pass_id, pid, kk, cc):
+            seen[0] += kk.shape[0]
+
+        eng.count(uri, pass_sink=sink)
+        return seen[0]
+
+    # 93948 distinct over the mesh: tiny tables need 4 passes to fit
+    small = run("small", 1 << 12, 4)
+    rss_after_small = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    big = run("big", 1 << 16, 1)
+    rss_after_big = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert big == small  # same input, same distinct set, finer chunks
+    # 16x larger per-chip tables: RSS may grow by device-side jax noise
+    # but must stay far under the 16x a materializing path would show
+    assert rss_after_big < rss_after_small * 2 + (200 << 10)  # +200 MB

@@ -232,3 +232,29 @@ def test_compact_heads_unit_counts_slack_loss():
     )
     assert int(n_uniq) == rows.shape[0]
     assert int(n_lost) > 0
+
+
+@pytest.mark.parametrize("segments", [0, 8])
+def test_capped_presorted_entry_matches(segments):
+    """sum_by_key_planes_capped(presorted=True) must equal the unsorted
+    entry (callers that already paid the key sort skip it)."""
+    rng = np.random.default_rng(11)
+    rows, wts = _random_rows(rng, 2048, 2, n_distinct=300)
+    planes = tuple(
+        jnp.asarray(np.ascontiguousarray(rows[:, i])) for i in range(2)
+    )
+    wd = jnp.asarray(wts)
+    ref = sum_by_key_planes_capped(planes, wd, 512, segments=segments)
+    order = np.lexsort((rows[:, 1], rows[:, 0]))
+    splanes = tuple(
+        jnp.asarray(np.ascontiguousarray(rows[order][:, i]))
+        for i in range(2)
+    )
+    got = sum_by_key_planes_capped(
+        splanes, jnp.asarray(wts[order]), 512, segments=segments,
+        presorted=True,
+    )
+    for a, b in zip(ref[:2], got[:2]):
+        for pa, pb in zip(np.atleast_1d(a), np.atleast_1d(b)):
+            assert (np.asarray(pa) == np.asarray(pb)).all()
+    assert int(ref[2]) == int(got[2])
