@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import sys
 
+from dsk_tpu.kmer import codec
 from dsk_tpu.store import text as store_text
 from dsk_tpu.store.hdf5 import OutputStore
 
@@ -44,11 +45,21 @@ def main(argv: list[str] | None = None) -> int:
     try:
         def dump(f):
             if args.sorted_:
-                lines = store_text.sorted_dump_lines(
-                    store.iter_items(), store.kmer_size
-                )
-                f.write("\n".join(lines) + ("\n" if lines else ""))
-                return len(lines)
+                # streaming k-way merge over the partitions' sorted runs
+                # (bounded memory at any table size); legacy stores
+                # without a run map fall back to the host sort
+                try:
+                    items = store.iter_items_sorted()
+                except ValueError:
+                    items = iter(
+                        sorted(store.iter_items())
+                    )
+                k = store.kmer_size
+                n = 0
+                for v, a in items:
+                    f.write(f"{codec.kmer_to_string(v, k)} {a}\n")
+                    n += 1
+                return n
             return store_text.dump_ascii(store, f, args.fasta, args.fastq)
 
         if args.out and not args.stdout:

@@ -110,7 +110,10 @@ class OutputStore:
         rec["value"] = np.asarray(kmers, dtype=np.uint32).reshape(-1, w)
         rec["abundance"] = np.asarray(counts, dtype=np.int32)
         kw = {"compression": "gzip"} if getattr(self, "_compress", False) and rec.shape[0] else {}
-        self._f["dsk/solid"].create_dataset(str(idx), data=rec, **kw)
+        ds = self._f["dsk/solid"].create_dataset(str(idx), data=rec, **kw)
+        # a gathered chip table is one ascending-sorted run (see
+        # append_solid_partition for why runs are recorded)
+        ds.attrs["run_sizes"] = np.asarray([rec.shape[0]], np.int64)
 
     def append_solid_partition(
         self, idx: int, kmers: np.ndarray, counts: np.ndarray
@@ -148,6 +151,15 @@ class OutputStore:
         ds.resize((off + n,))
         if n:
             ds[off:] = rec
+            # record the run boundary: each append is one ascending-
+            # sorted run (a chip table is sorted by construction), so
+            # `dsk2ascii -sorted` can stream a k-way merge over
+            # (partition, run) pairs instead of materializing + sorting
+            # the whole table on the host (bounded-memory dump at
+            # reference-flagship scale, doc/paper.tex:106-115)
+            runs = list(ds.attrs.get("run_sizes", []))
+            runs.append(n)
+            ds.attrs["run_sizes"] = np.asarray(runs, np.int64)
 
     def partition_sizes(self) -> dict[int, int]:
         solid = self._f["dsk/solid"]
@@ -164,6 +176,22 @@ class OutputStore:
                 del solid[name]
             elif solid[name].shape[0] != want:
                 solid[name].resize((want,))
+                # drop whole runs past the truncation point; a mismatch
+                # (truncation inside a run) invalidates the run map and
+                # the sorted dump falls back to the full host sort
+                runs = list(solid[name].attrs.get("run_sizes", []))
+                keep, acc = [], 0
+                for r in runs:
+                    if acc + int(r) > want:
+                        break
+                    keep.append(int(r))
+                    acc += int(r)
+                if acc == want:
+                    solid[name].attrs["run_sizes"] = np.asarray(
+                        keep, np.int64
+                    )
+                elif "run_sizes" in solid[name].attrs:
+                    del solid[name].attrs["run_sizes"]
 
     def write_histogram(self, hist: np.ndarray) -> None:
         """hist indexed by abundance (index 0 unused) -> (index, count) pairs."""
@@ -227,6 +255,51 @@ class OutputStore:
         for kmers, counts in self.iter_solid():
             for row, a in zip(kmers, counts):
                 yield codec.words_to_value(row), int(a)
+
+    def iter_items_sorted(
+        self, chunk_rows: int = 1 << 16
+    ) -> Iterator[tuple[int, int]]:
+        """Yield (value, abundance) in GLOBAL ascending kmer order with
+        BOUNDED memory: a heapq k-way merge over every (partition, run)
+        pair, reading each run in chunk_rows slices.
+
+        Runs are the ascending-sorted chip tables the writers appended
+        (run_sizes attr); total live memory is O(n_runs * chunk_rows)
+        rows — at reference-flagship scale (2.7B kmers) the old path
+        (load everything + host sort) needs ~30+ GB, this needs ~tens
+        of MB.  Raises ValueError when any partition lacks a run map
+        (legacy store or a resume truncation that split a run): callers
+        fall back to the materializing sort."""
+        import heapq
+
+        solid = self._f["dsk/solid"]
+        iters = []
+        for name in sorted(solid, key=int):
+            ds = solid[name]
+            if ds.shape[0] == 0:
+                continue
+            runs = ds.attrs.get("run_sizes")
+            if runs is None or int(np.sum(runs)) != int(ds.shape[0]):
+                raise ValueError(
+                    f"partition {name} has no valid run map; use the "
+                    f"materializing sorted dump"
+                )
+
+            def run_iter(ds=ds, start=0, stop=0):
+                for off in range(start, stop, chunk_rows):
+                    rec = ds[off : min(off + chunk_rows, stop)]
+                    vals = rec["value"]
+                    abun = rec["abundance"]
+                    for i in range(vals.shape[0]):
+                        yield codec.words_to_value(vals[i]), int(abun[i])
+
+            off = 0
+            for r in runs:
+                r = int(r)
+                if r:
+                    iters.append(run_iter(ds, off, off + r))
+                off += r
+        return heapq.merge(*iters)
 
     def n_solid(self) -> int:
         return sum(ds.shape[0] for ds in self._f["dsk/solid"].values())

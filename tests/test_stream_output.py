@@ -205,3 +205,47 @@ def test_streaming_peak_rss_independent_of_distinct(data_dir, tmp_path):
     # 16x larger per-chip tables: RSS may grow by device-side jax noise
     # but must stay far under the 16x a materializing path would show
     assert rss_after_big < rss_after_small * 2 + (200 << 10)  # +200 MB
+
+
+def test_iter_items_sorted_streaming_merge(data_dir, tmp_path, monkeypatch):
+    """The run-map streaming merge must equal the materializing sort on
+    a multipass streamed store (many (partition, run) pairs)."""
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    _force_passes(monkeypatch, 3)
+    out = execute(RunParams(
+        file=uri, kmer_size=27, abundance_min=1,
+        out=str(tmp_path / "sm"), verbose=0, batch_rows=512, row_len=128,
+    ))
+    with OutputStore.load(out.h5_path) as store:
+        merged = list(store.iter_items_sorted())
+        full = sorted(store.iter_items())
+    assert merged == full
+    assert [v for v, _ in merged] == sorted(v for v, _ in merged)
+
+
+def test_iter_items_sorted_raises_without_run_map(tmp_path):
+    path = str(tmp_path / "legacy.h5")
+    store = OutputStore.create(path, 15)
+    k0 = np.arange(8, dtype=np.uint32).reshape(8, 1)
+    store.append_solid_partition(0, k0, np.ones(8, np.int32))
+    del store._f["dsk/solid/0"].attrs["run_sizes"]  # legacy store
+    with pytest.raises(ValueError):
+        list(store.iter_items_sorted())
+    store.close()
+
+
+def test_truncate_keeps_run_map_at_pass_boundary(tmp_path):
+    path = str(tmp_path / "t.h5")
+    store = OutputStore.create(path, 15)
+    k0 = np.arange(8, dtype=np.uint32).reshape(8, 1)
+    store.append_solid_partition(0, k0, np.ones(8, np.int32))
+    store.append_solid_partition(0, k0 + 100, np.ones(8, np.int32))
+    store.truncate_partitions({0: 8})  # drop the second pass's run
+    assert list(store._f["dsk/solid/0"].attrs["run_sizes"]) == [8]
+    got = list(store.iter_items_sorted())
+    assert [v for v, _ in got] == list(range(8))
+    # truncation INSIDE a run invalidates the map
+    store.append_solid_partition(0, k0 + 200, np.ones(8, np.int32))
+    store.truncate_partitions({0: 12})
+    assert "run_sizes" not in store._f["dsk/solid/0"].attrs
+    store.close()
