@@ -108,7 +108,10 @@ def main() -> None:
     # benchmarks the window, not the pipeline.
     elapsed = float("inf")
     runs = []
-    wire_mb = total_bases * 3 / 8 / (1 << 20)
+    # exc wire format (io/packed.py): 2-bit code words + 34 B/row meta
+    # + 4 B/row bank ids ~= 2.30 bits/base at row_len 1024
+    wire_bits_per_base = 2 + (34 + 4) * 8 / row_len
+    wire_mb = total_bases * wire_bits_per_base / 8 / (1 << 20)
     for run in range(3):
         t0 = time.perf_counter()
         res = engine.count_stream(iter(batches), finalize=False)
@@ -132,11 +135,11 @@ def main() -> None:
     # device ceiling: fenced step reps on device-resident groups — the
     # number that holds when H2D is PCIe instead of the tunnel
     import jax.numpy as jnp
-    from dsk_tpu.io.packed import pack_codes
+    from dsk_tpu.io.packed import pack_codes_exc
 
     d0 = jax.devices()[0]
     grp = batches[:32]  # one flush group (buf_batches)
-    ws, ms = zip(*(pack_codes(b.codes) for b in grp))
+    ws, ms = zip(*(pack_codes_exc(b.codes) for b in grp))
     cd = jax.device_put(np.stack(ws), d0)
     md = jax.device_put(np.stack(ms), d0)
     bd = jax.device_put(np.stack([b.bank_ids for b in grp]), d0)
@@ -231,7 +234,7 @@ def main() -> None:
     engine_mp.compile(
         progress=lambda m: print(f"[bench mp] {m}", file=sys.stderr)
     )
-    wsm, msm = zip(*(pack_codes(b.codes) for b in mp_batches))
+    wsm, msm = zip(*(pack_codes_exc(b.codes) for b in mp_batches))
     cdm = jax.device_put(np.stack(wsm), d0)
     mdm = jax.device_put(np.stack(msm), d0)
     bdm = jax.device_put(
@@ -255,13 +258,11 @@ def main() -> None:
             "total_bases": total_bases,
             "elapsed_s": round(elapsed, 3),
             "stream_runs_s": runs,
-            # tunnel wire diagnostic: packed payload is 3 bits/base; when
-            # this is << 20 MB/s the streamed value measured the tunnel's
-            # weather, not the pipeline (PERF.md) — device_bases_per_s is
-            # the chip number
-            "wire_mb_per_s": round(
-                total_bases * 3 / 8 / (1 << 20) / elapsed, 1
-            ),
+            # tunnel wire diagnostic: exc-packed payload is ~2.3
+            # bits/base; when this is << 20 MB/s the streamed value
+            # measured the tunnel's weather, not the pipeline (PERF.md)
+            # — device_bases_per_s is the chip number
+            "wire_mb_per_s": round(wire_mb / elapsed, 1),
             "n_distinct": n_distinct,
             "distinct_kmers_per_s": round(n_distinct / elapsed, 1),
             "table_download_s": round(gather_s, 3),

@@ -154,6 +154,7 @@ class DistCountEngine:
         bucketize_at: str = "flush",
         flush_mode: str = "sort",
         compact_segments: int | None = None,
+        wire: str | None = None,
     ):
         """routing: "hash" (per-kmer hash owners, local dedup before the
         all_to_all) or "superkmer" (KMC3-style: consecutive windows
@@ -172,6 +173,24 @@ class DistCountEngine:
         self.k = k
         self.n_passes = n_passes
         self.per_bank = per_bank
+        # H2D wire format: "exc" (2-bit code words + per-row sparse
+        # exception meta, ~2.3 bits/base — io/packed.py pack_codes_exc)
+        # or "bitmap" (dense 1-bit/base validity map, 3.03 bits/base).
+        # The wire is the CLI bottleneck on the tunnel (and the NIC on
+        # real hosts); exc is the default, and a WireOverflow on
+        # N-dense input falls back to bitmap via the retry valve
+        # (engine/run.py).  Resolved below once multi_process is known:
+        # a WireOverflow is HOST-LOCAL, and one process aborting a
+        # lockstep stream would desync the others' collectives, so
+        # multi-process meshes default to the any-row bitmap format.
+        import os as _os
+
+        wire_req = wire or _os.environ.get("DSK_TPU_WIRE")
+        if wire_req not in (None, "exc", "bitmap"):
+            raise ValueError(f"unknown wire format {wire_req!r}")
+        from dsk_tpu.io.packed import EXC_E
+
+        self.wire_E = EXC_E
         self.W = codec.words_per_kmer(k)
         # per-bank mode threads the sub-bank id through the pipeline as an
         # extra least-significant key word (SURVEY.md C7 multi-bank needs)
@@ -290,6 +309,9 @@ class DistCountEngine:
         )
         self.multi_process = self.n_local_chips < self.n
         self.local_batch_rows = self.rows_per_chip * self.n_local_chips
+        self.wire = wire_req or (
+            "bitmap" if self.multi_process else "exc"
+        )
         from dsk_tpu.kmer.pallas_kernels import MIN_PALLAS_ROW_LEN
 
         self.use_pallas = (
@@ -801,15 +823,26 @@ class DistCountEngine:
             fused group program pays it once per ~G x m windows.
 
             Batches arrive 2-bit PACKED (io/packed.py: 16-base uint32
-            words + 32-base validity bitmap) — 3 bits/base over the
-            host->device link instead of 8 — and are unpacked per scan
-            step so only one batch's byte codes ever materialize in HBM.
+            words + validity as either per-row sparse exception meta,
+            ~2.3 bits/base, or a 32-base dense bitmap, 3 bits/base —
+            self.wire) instead of 8 bits/base over the host->device
+            link, and are unpacked per scan step so only one batch's
+            byte codes ever materialize in HBM.
 
             bwords: (G, rows_per_chip, ceil(L/16)) uint32;
-            bbitmap: (G, rows_per_chip, ceil(L/32)) uint32;
+            bbitmap: (G, rows_per_chip, 1+E) uint16 exc meta or
+                     (G, rows_per_chip, ceil(L/32)) uint32 bitmap;
             bids: (G, rows_per_chip).
             """
-            from dsk_tpu.io.packed import unpack_codes_jnp
+            from dsk_tpu.io.packed import (
+                unpack_codes_exc_jnp,
+                unpack_codes_jnp,
+            )
+
+            unpack = (
+                unpack_codes_exc_jnp if self.wire == "exc"
+                else unpack_codes_jnp
+            )
             Sb = 1 if flat_buffer else S
             buf_p0 = jnp.full(
                 (WK, Sb, plan.buf_batches * C), SENTINEL
@@ -819,7 +852,7 @@ class DistCountEngine:
             def body(carry, xs):
                 bp, bc, ov = carry
                 words, bitmap, bid, slot = xs
-                batch = unpack_codes_jnp(words, bitmap, row_len)
+                batch = unpack(words, bitmap, row_len)
                 bp, bc, ov = route_body(
                     batch, bid, bp, bc, ov, slot, pass_sel
                 )
@@ -894,7 +927,12 @@ class DistCountEngine:
         G = plan.buf_batches
         nw, nb = packed_shapes(self.row_len)
         bg = jax.ShapeDtypeStruct((G, rows, nw), _jnp.uint32)
-        bm = jax.ShapeDtypeStruct((G, rows, nb), _jnp.uint32)
+        if self.wire == "exc":
+            bm = jax.ShapeDtypeStruct(
+                (G, rows, 1 + self.wire_E), _jnp.uint16
+            )
+        else:
+            bm = jax.ShapeDtypeStruct((G, rows, nb), _jnp.uint32)
         bi = jax.ShapeDtypeStruct((G, rows), _jnp.int32)
         tp = jax.ShapeDtypeStruct((WK, plan.n * plan.table_cap), _jnp.uint32)
         tc = jax.ShapeDtypeStruct((plan.n * plan.table_cap,), _jnp.int32)
@@ -1223,25 +1261,37 @@ class DistCountEngine:
             self.local_batch_rows if self.multi_process else self.batch_rows
         )
 
-        from dsk_tpu.io.packed import pack_codes, packed_shapes
+        from dsk_tpu.io.packed import (
+            pack_codes,
+            pack_codes_exc,
+            packed_shapes,
+        )
 
         nw_p, nb_p = packed_shapes(self.row_len)
+        exc_wire = self.wire == "exc"
+        wire_E = self.wire_E
 
         def pack_one(batch):
-            """Pack one batch to the 3-bit/base wire format (io/packed.py)
+            """Pack one batch to the packed wire format (io/packed.py)
             on the prefetch thread: the host->device link is the narrow
             resource (the axon tunnel moves byte codes at ~7-10 MB/s
             sustained, measured round 2), so wire bytes are cut 2.67x
-            before the transfer, overlapped with device compute."""
-            words, bitmap = pack_codes(
-                np.ascontiguousarray(batch.codes, np.uint8)
-            )
+            (bitmap) / 3.5x (exc, the default) before the transfer,
+            overlapped with device compute."""
+            codes = np.ascontiguousarray(batch.codes, np.uint8)
+            if exc_wire:
+                words, bitmap = pack_codes_exc(codes, wire_E)
+            else:
+                words, bitmap = pack_codes(codes)
             bids = np.ascontiguousarray(batch.bank_ids, np.int32)
             return words, bitmap, bids, batch.n_bases, batch.n_reads
 
         def pad_items(cnt):
             pad_w = np.zeros((local_rows, nw_p), np.uint32)
-            pad_m = np.zeros((local_rows, nb_p), np.uint32)
+            if exc_wire:  # live 0 = dead row; exception slots unused
+                pad_m = np.zeros((local_rows, 1 + wire_E), np.uint16)
+            else:
+                pad_m = np.zeros((local_rows, nb_p), np.uint32)
             pad_b = np.zeros(local_rows, np.int32)
             while cnt % G:
                 yield (pad_w, pad_m, pad_b, 0, 0)
@@ -1409,10 +1459,21 @@ class DistCountEngine:
                 ),
                 donate_argnums=(0, 1, 2),
             )
+        from dsk_tpu.io.packed import WireOverflow
+
         pend: list = []
         while True:
             f0 = _time.perf_counter()
-            item = next(feed, None)
+            try:
+                item = next(feed, None)
+            except WireOverflow:
+                # raised by the exc packer on a put thread (N-dense
+                # row): device tables are valid through the last
+                # dispatched group, so attach the snapshot — the valve
+                # (engine/run.py) rebuilds with wire="bitmap" and
+                # resumes rather than recounting from zero
+                self._retry_snapshot = snap
+                raise
             sub["t_feed"] += _time.perf_counter() - f0
             if item is None:
                 break

@@ -121,6 +121,7 @@ def _select_engine(
     routing: str = "hash",
     repartition=None,
     compact_segments: int | None = None,
+    wire: str | None = None,
 ):
     """Pick the counting engine (SURVEY.md C1's role).
 
@@ -155,6 +156,7 @@ def _select_engine(
             repartition=repartition,
             flush_buckets=params.flush_buckets,
             compact_segments=compact_segments,
+            wire=wire,
         )
         engine.compile(progress=lambda m: progress.log(f"[dsk_tpu] {m}", 2))
         return engine
@@ -256,6 +258,7 @@ def execute(params: RunParams) -> RunOutput:
     # a mis-estimated long run must not die at the end with advice to
     # hand-tune (VERDICT r1 weak item 6).
     from dsk_tpu.dist.engine import RoutingOverflow, TableOverflow
+    from dsk_tpu.io.packed import WireOverflow
 
     # minimizer/superkmer routing (reference -minimizer-type 1 /
     # -repartition-type, SURVEY.md C6): on a multi-chip dist mesh the
@@ -290,6 +293,7 @@ def execute(params: RunParams) -> RunOutput:
     send_slack = params.send_slack
     n_passes = plan.n_passes
     compact_segments = None  # auto; retry falls back to monolithic
+    wire = None  # engine default ("exc"); WireOverflow falls to "bitmap"
     attempt = 0
 
     # bounded-memory output (VERDICT r2 missing #2): on the dist engine
@@ -325,6 +329,7 @@ def execute(params: RunParams) -> RunOutput:
                 send_slack=send_slack,
                 routing=routing, repartition=repartition,
                 compact_segments=compact_segments,
+                wire=wire,
             )
         ckpt = None
         done_passes = None
@@ -455,6 +460,31 @@ def execute(params: RunParams) -> RunOutput:
                 else:
                     result = engine.count(bank, **count_kwargs)
             break
+        except WireOverflow as e:
+            attempt += 1
+            if attempt > params.max_retries:
+                raise
+            # sparse exc wire met an N-dense row (> E invalid positions):
+            # fall back to the dense validity bitmap.  The format change
+            # touches neither the pass hash nor the table geometry, so
+            # counted work survives exactly as for RoutingOverflow.
+            wire = "bitmap"
+            resume_snapshot = getattr(engine, "_retry_snapshot", None)
+            preserved = ""
+            if resume_snapshot is not None and n_passes <= 1:
+                preserved = (
+                    f" (resuming from group {resume_snapshot['groups']})"
+                )
+            elif n_passes > 1 and ckpt is not None:
+                auto_resume = True
+                resume_snapshot = None
+                preserved = " (completed passes kept via checkpoint)"
+            else:
+                resume_snapshot = None
+                store = _drop_partial_store(store, h5_path, ckpt)
+            progress.log(
+                f"[dsk_tpu] {e}; retrying with wire=bitmap" + preserved
+            )
         except RoutingOverflow as e:
             attempt += 1
             if attempt > params.max_retries:

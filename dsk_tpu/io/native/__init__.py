@@ -15,13 +15,19 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libdskio.so")
 _lib = None
+_HAS_PACK_EXC = False
 
 
 def _load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    src = os.path.join(_DIR, "fastx.cpp")
+    stale = not os.path.exists(_SO) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO)
+    )
+    if stale:
         try:
             subprocess.run(
                 ["make", "-C", _DIR, "-s"],
@@ -30,7 +36,8 @@ def _load() -> ctypes.CDLL | None:
                 timeout=120,
             )
         except (subprocess.SubprocessError, OSError):
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -64,6 +71,20 @@ def _load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint32),
     ]
+    global _HAS_PACK_EXC
+    try:  # stale .so from before the exc wire format: numpy fallback
+        lib.fx_pack_batch_exc.restype = ctypes.c_int
+        lib.fx_pack_batch_exc.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+        _HAS_PACK_EXC = True
+    except AttributeError:
+        _HAS_PACK_EXC = False
     _lib = lib
     return lib
 
@@ -88,6 +109,43 @@ def pack_batch(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
         bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return words, bitmap
+
+
+def pack_batch_exc(
+    codes: np.ndarray, E: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """C packer for the sparse "exc" wire format (io/packed.py
+    pack_codes_exc layout); returns None when the library (or a stale
+    .so without the symbol) is unavailable — caller falls back to numpy.
+    Raises WireOverflow when any row has more than E invalid events."""
+    lib = _load()
+    if lib is None or not _HAS_PACK_EXC:
+        return None
+    rows, row_len = codes.shape
+    if row_len >= 0xFFFF:
+        raise ValueError(
+            f"exc wire format needs row_len < 65535, got {row_len}"
+        )
+    nb = -(-row_len // 32)
+    words = np.empty((rows, nb * 2), np.uint32)
+    meta = np.empty((rows, 1 + E), np.uint16)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    worst = lib.fx_pack_batch_exc(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows,
+        row_len,
+        E,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if worst > E:
+        from dsk_tpu.io.packed import WireOverflow
+
+        raise WireOverflow(
+            f"row with {worst} invalid positions exceeds the exc wire "
+            f"format's E={E} slots"
+        )
+    return words, meta
 
 
 def available() -> bool:

@@ -645,4 +645,51 @@ void fx_pack_batch(const uint8_t* codes, int rows, int row_len,
     }
 }
 
+// Pack a (rows, row_len) byte-code batch into the SPARSE "exc" wire
+// format (dsk_tpu/io/packed.py pack_codes_exc): 16-base uint32 code
+// words + (1+E) uint16 meta per row (live length, then the ascending
+// positions of invalid bases before it, 0xFFFF-padded).  Returns the
+// worst per-row invalid-event count; the caller raises WireOverflow
+// when it exceeds E (meta is still fully written — the first E slots).
+// Must stay bit-identical to the numpy pack_codes_exc_numpy fallback.
+int fx_pack_batch_exc(const uint8_t* codes, int rows, int row_len,
+                      int E, uint32_t* out_words, uint16_t* out_meta) {
+    int nb = (row_len + 31) / 32;
+    int nw = nb * 2;
+    int worst = 0;
+    for (int r = 0; r < rows; r++) {
+        const uint8_t* src = codes + (size_t)r * row_len;
+        uint32_t* wr = out_words + (size_t)r * nw;
+        uint16_t* mr = out_meta + (size_t)r * (1 + E);
+        int live = 0;
+        for (int b = 0; b < nb; b++) {
+            uint32_t w0 = 0, w1 = 0;
+            int base = b * 32;
+            int lim = row_len - base;
+            if (lim > 32) lim = 32;
+            for (int i = 0; i < lim; i++) {
+                uint8_t c = src[base + i];
+                if (c <= 3) {
+                    live = base + i + 1;
+                    if (i < 16) w0 |= (uint32_t)c << (2 * i);
+                    else        w1 |= (uint32_t)c << (2 * (i - 16));
+                }
+            }
+            wr[2 * b] = w0;
+            wr[2 * b + 1] = w1;
+        }
+        mr[0] = (uint16_t)live;
+        int ev = 0;
+        for (int i = 0; i < live; i++) {
+            if (src[i] > 3) {
+                if (ev < E) mr[1 + ev] = (uint16_t)i;
+                ev++;
+            }
+        }
+        for (int e = ev < E ? ev : E; e < E; e++) mr[1 + e] = 0xFFFF;
+        if (ev > worst) worst = ev;
+    }
+    return worst;
+}
+
 }  // extern "C"

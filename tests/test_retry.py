@@ -72,3 +72,61 @@ def test_execute_retries_table_overflow(data_dir, tmp_path, monkeypatch):
     }
     assert got == want
     assert out.result.info.get("n_passes", 1) >= 2  # the valve actually fired
+
+
+def test_execute_falls_back_to_bitmap_wire_on_n_dense_input(
+    tmp_path, monkeypatch
+):
+    """N-dense reads exceed the sparse exc wire format's per-row
+    exception budget (io/packed.py EXC_E): the packer raises the typed
+    WireOverflow and the valve must re-stream on the dense bitmap
+    format with no count change."""
+    from collections import defaultdict
+
+    from dsk_tpu import oracle
+
+    k = 7
+    # period-6 N pattern: a 128-wide packed row carries ~21 in-read
+    # invalid events > EXC_E=16; the 30-base head yields real kmers
+    read = "ACGTACGTACGTACGTACGTACGTACGTAC" + "NACGTA" * 30
+    fa = tmp_path / "ndense.fasta"
+    with open(fa, "w") as fh:
+        for i in range(40):
+            fh.write(f">r{i}\n{read}\n")
+
+    wires = []
+    orig = run_mod._select_engine
+
+    def recording(*a, **kw):
+        wires.append(kw.get("wire"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(run_mod, "_select_engine", recording)
+
+    params = RunParams(
+        file=str(fa),
+        kmer_size=k,
+        abundance_min=1,
+        out=str(tmp_path / "r"),
+        histo=True,
+        engine="dist",
+        verbose=0,
+        checkpoint=False,
+    )
+    out = execute(params)
+    assert wires[0] is None          # first attempt: engine default (exc)
+    assert wires[-1] == "bitmap"     # the wire valve actually fired
+
+    want: dict[int, int] = defaultdict(int)
+    oracle.count_sequence(want, read.encode(), k)
+    for kk in want:
+        want[kk] *= 40
+    hist: dict[int, int] = defaultdict(int)
+    for c in want.values():
+        hist[c] += 1
+    got = {
+        i: int(c)
+        for i, c in enumerate(out.result.histogram)
+        if c and i > 0
+    }
+    assert got == dict(hist)

@@ -102,7 +102,7 @@ def test_dist_engine_raises_count_volume_overflow(data_dir):
     mesh = Mesh(np.array(jax.devices()[:1]), (AXIS,))
     eng = DistCountEngine(
         15, mesh=mesh, batch_rows=16, row_len=64, table_cap=1 << 10,
-        buf_batches=2,
+        buf_batches=2, wire="bitmap",  # hand-packed bitmap groups below
     )
     plan = eng.plan
 
