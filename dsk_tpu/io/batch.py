@@ -21,6 +21,15 @@ from dsk_tpu.kmer.codec import encode_bytes
 
 PAD = np.uint8(0xFF)  # invalid code: windows touching it are masked
 
+# Soft per-row invalid-EVENT cap: the sparse "exc" wire format
+# (io/packed.py EXC_E) encodes at most this many invalid positions per
+# row, so row packing closes a row before exceeding it (separators
+# between packed reads + in-read N's).  A single chunk with more
+# internal invalids still exceeds it — that rare case rides the
+# engine's WireOverflow -> bitmap retry valve.  Must match the native
+# parser's EVENT_CAP (fastx.cpp; row-level lockstep tests).
+ROW_EVENT_CAP = 16
+
 
 @dataclass(frozen=True)
 class ReadUnit:
@@ -218,6 +227,7 @@ def _units_batch_stream(
             # take full rows, open rows close when the next read doesn't
             # fit, at batch yields, and at unit end.
             col = 0
+            ev = 0  # invalid events in the open row (ROW_EVENT_CAP)
             end = None if unit.end < 0 else unit.end
             for seq in iter_sequences(unit.path, unit.start, end):
                 # stats count ALL parsed input (reads shorter than k
@@ -230,11 +240,17 @@ def _units_batch_stream(
                 chunks = chunk_codes(codes, k, row_len)
                 for ci, chunk in enumerate(chunks):
                     m = chunk.shape[0]
+                    c_inv = int((chunk > 3).sum())
                     is_final = ci == len(chunks) - 1
-                    if not is_final or (col > 0 and col + 1 + m > row_len):
+                    if not is_final or (
+                        col > 0
+                        and (col + 1 + m > row_len
+                             or ev + 1 + c_inv > ROW_EVENT_CAP)
+                    ):
                         if col > 0:
                             row += 1
                             col = 0
+                        ev = 0
                     if row == batch_rows:
                         yield Batch(buf, bids, row, bases, reads)
                         buf = np.full(
@@ -247,14 +263,17 @@ def _units_batch_stream(
                     at = 0 if col == 0 else col + 1
                     buf[row, at : at + m] = chunk
                     bids[row] = bank_id
+                    ev = c_inv if at == 0 else ev + 1 + c_inv
                     if is_final:
                         col = at + m
                         if col >= row_len:
                             row += 1
                             col = 0
+                            ev = 0
                     else:
                         row += 1
                         col = 0
+                        ev = 0
             if col > 0:  # close the open row at unit end
                 row += 1
                 col = 0

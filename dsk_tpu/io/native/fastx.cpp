@@ -104,11 +104,22 @@ struct Handle {
 // fx_next_batch call (so no cross-call packing state exists and rows
 // never span input units).  Must stay in lockstep with the Python
 // fallback in dsk_tpu/io/batch.py (row-for-row tests).
+// Soft per-row invalid-EVENT cap: the sparse "exc" wire format
+// (io/packed.py pack_codes_exc, EXC_E) encodes at most 16 invalid
+// positions per row, so the packer never overflows as long as rows
+// close before accumulating more (separators between packed reads +
+// in-read N's).  A SINGLE chunk with > 16 internal invalids still
+// exceeds it (the chunk cannot be split here) — that rare case rides
+// the engine's WireOverflow -> bitmap retry valve.  Must match
+// io/batch.py ROW_EVENT_CAP (row-level lockstep tests).
+constexpr int EVENT_CAP = 16;
+
 struct Batch {
     uint8_t* out;
     int rows, row_len, k;
     int row = 0;
     int col = 0;  // open-row write cursor (0 = no open row)
+    int ev = 0;   // invalid events in the open row (cap: EVENT_CAP)
 };
 
 inline void close_row(Batch* b) {
@@ -116,6 +127,7 @@ inline void close_row(Batch* b) {
         b->row++;
         b->col = 0;
     }
+    b->ev = 0;
 }
 
 inline bool emit_chunk(Handle* h, Batch* b, bool final_chunk) {
@@ -135,13 +147,19 @@ inline bool emit_chunk(Handle* h, Batch* b, bool final_chunk) {
         h->cur_len = b->k - 1;
         return true;
     }
-    // final (or whole-read) chunk: pack after a 1-code separator if it fits
-    if (b->col > 0 && b->col + 1 + m > b->row_len) close_row(b);
+    // final (or whole-read) chunk: pack after a 1-code separator if it
+    // fits the row AND the row's invalid-event budget (EVENT_CAP)
+    int cinv = 0;
+    for (int i = 0; i < m; i++) cinv += h->cur[i] > 3;
+    if (b->col > 0 && (b->col + 1 + m > b->row_len ||
+                       b->ev + 1 + cinv > EVENT_CAP))
+        close_row(b);
     if (b->row >= b->rows) return false;  // batch full, keep state
     uint8_t* dst = b->out + (size_t)b->row * b->row_len;
     int at = b->col == 0 ? 0 : b->col + 1;
     if (b->col == 0) std::memset(dst, INVALID, b->row_len);
     std::memcpy(dst + at, h->cur, m);
+    b->ev = at == 0 ? cinv : b->ev + 1 + cinv;
     b->col = at + m;
     if (b->col >= b->row_len) close_row(b);
     h->cur_len = 0;

@@ -33,13 +33,16 @@ from __future__ import annotations
 
 import numpy as np
 
-from dsk_tpu.io.batch import PAD
+from dsk_tpu.io.batch import PAD, ROW_EVENT_CAP
 
 # default exception slots per row for the "exc" wire format (see
 # pack_codes_exc): covers the ~row_len/read_len read separators of a
-# packed 1024-wide row plus a few in-read N's.  Rows that exceed it
-# raise WireOverflow and the run retries on the dense-bitmap format.
-EXC_E = 16
+# packed 1024-wide row plus a few in-read N's.  Equal to the batchers'
+# soft per-row event cap (io/batch.py ROW_EVENT_CAP, fastx.cpp
+# EVENT_CAP), which closes rows early so parsed rows never exceed it —
+# except a single read chunk with > E internal N's, which raises
+# WireOverflow and retries the run on the dense-bitmap format.
+EXC_E = ROW_EVENT_CAP
 
 
 class WireOverflow(RuntimeError):

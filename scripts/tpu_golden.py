@@ -19,8 +19,13 @@ otherwise), persistent compile cache, progress on stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# runnable as `python scripts/tpu_golden.py` from the repo root without
+# PYTHONPATH: the package lives one directory up from this file
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg: str) -> None:

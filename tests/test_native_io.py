@@ -130,3 +130,36 @@ def test_gz_pipe_matches_serial(data_dir, monkeypatch):
     for (r1, b1, n1, c1), (r2, b2, n2, c2) in zip(serial, piped):
         assert (r1, b1, n1) == (r2, b2, n2)
         assert (c1 == c2).all()
+
+
+def test_event_cap_closes_rows_early(tmp_path):
+    """Reads with a few N's each: a wide row packs many of them, and
+    without the soft invalid-event cap (io/batch.py ROW_EVENT_CAP,
+    fastx.cpp EVENT_CAP) the row would exceed the exc wire format's
+    exception slots.  Both parsers must close rows early, in lockstep,
+    and every produced row must fit the wire budget."""
+    from dsk_tpu.io.batch import ROW_EVENT_CAP
+    from dsk_tpu.io.packed import pack_codes_exc_numpy
+
+    # 48 bases, 2 in-read N's each: 16 reads would fit a 1024-wide row
+    # with 15 separators + 32 N's = 47 events >> the cap of 16
+    fa = tmp_path / "nsprinkle.fasta"
+    with open(fa, "w") as fh:
+        for i in range(64):
+            fh.write(
+                f">r{i}\nACGTACGTACGTACGTACGTN"
+                f"ACGTACGTACGTN{'ACGTACGTACGTAC'[: 14]}\n"
+            )
+    bank = open_bank(str(fa))
+    cn, bn, basn, rdn = collect(bank, 15, 32, 1024, use_native=True)
+    cp, bp, basp, rdp = collect(bank, 15, 32, 1024, use_native=False)
+    np.testing.assert_array_equal(cn, cp)
+    assert (basn, rdn) == (basp, rdp)
+    # the cap held: every row packs on the exc wire format
+    live = cn <= 3
+    L = cn.shape[1]
+    last = np.where(live.any(1), L - np.argmax(live[:, ::-1], axis=1), 0)
+    events = ((cn > 3) & (np.arange(L)[None, :] < last[:, None])).sum(1)
+    assert events.max(initial=0) <= ROW_EVENT_CAP
+    assert events.max(initial=0) > ROW_EVENT_CAP // 2  # the test bites
+    pack_codes_exc_numpy(cn)  # must not raise WireOverflow
