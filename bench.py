@@ -108,9 +108,11 @@ def main() -> None:
     # benchmarks the window, not the pipeline.
     elapsed = float("inf")
     runs = []
-    # exc wire format (io/packed.py): 2-bit code words + 34 B/row meta
-    # + 4 B/row bank ids ~= 2.30 bits/base at row_len 1024
-    wire_bits_per_base = 2 + (34 + 4) * 8 / row_len
+    # exc wire format (io/packed.py): 2-bit code words + 2(1+E) B/row
+    # meta + 4 B/row bank ids ~= 2.30 bits/base at row_len 1024
+    from dsk_tpu.io.packed import EXC_E
+
+    wire_bits_per_base = 2 + (2 * (1 + EXC_E) + 4) * 8 / row_len
     wire_mb = total_bases * wire_bits_per_base / 8 / (1 << 20)
     for run in range(3):
         t0 = time.perf_counter()

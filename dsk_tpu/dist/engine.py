@@ -309,8 +309,26 @@ class DistCountEngine:
         )
         self.multi_process = self.n_local_chips < self.n
         self.local_batch_rows = self.rows_per_chip * self.n_local_chips
+        if wire_req == "exc" and self.multi_process:
+            # a WireOverflow is HOST-LOCAL: one process aborting a
+            # lockstep stream leaves the others blocked in collectives
+            # (distributed hang, not a retry).  Reject loudly at
+            # construction instead of honoring a stale DSK_TPU_WIRE=exc.
+            raise ValueError(
+                "wire='exc' is not supported on multi-process meshes "
+                "(a host-local WireOverflow would desync the lockstep "
+                "collectives); use the default bitmap format"
+            )
+        if wire_req == "exc" and self.row_len >= 0xFFFF:
+            # uint16 positions cannot address such rows; fail at
+            # construction, not from a pack thread mid-stream
+            raise ValueError(
+                f"wire='exc' needs row_len < 65535, got {self.row_len}"
+            )
         self.wire = wire_req or (
-            "bitmap" if self.multi_process else "exc"
+            "bitmap"
+            if self.multi_process or self.row_len >= 0xFFFF
+            else "exc"
         )
         from dsk_tpu.kmer.pallas_kernels import MIN_PALLAS_ROW_LEN
 

@@ -169,6 +169,22 @@ def _select_engine(
     )
 
 
+def _preserve_retry_work(engine, n_passes, ckpt, store, h5_path):
+    """Work-preserving prep shared by the retry valves whose knob keeps
+    the pass hash AND table geometry (WireOverflow -> bitmap,
+    RoutingOverflow -> more slack): counted work survives the rebuild.
+    Returns (resume_snapshot, auto_resume, store, preserved_msg)."""
+    resume_snapshot = getattr(engine, "_retry_snapshot", None)
+    if resume_snapshot is not None and n_passes <= 1:
+        return (
+            resume_snapshot, False, store,
+            f" (resuming from group {resume_snapshot['groups']})",
+        )
+    if n_passes > 1 and ckpt is not None:
+        return None, True, store, " (completed passes kept via checkpoint)"
+    return None, False, _drop_partial_store(store, h5_path, ckpt), ""
+
+
 def _drop_partial_store(store, h5_path: str, ckpt) -> None:
     """Discard a partially-written streaming store (and its checkpoint)
     before an overflow retry: a re-plan changes pass semantics, so
@@ -469,19 +485,9 @@ def execute(params: RunParams) -> RunOutput:
             # touches neither the pass hash nor the table geometry, so
             # counted work survives exactly as for RoutingOverflow.
             wire = "bitmap"
-            resume_snapshot = getattr(engine, "_retry_snapshot", None)
-            preserved = ""
-            if resume_snapshot is not None and n_passes <= 1:
-                preserved = (
-                    f" (resuming from group {resume_snapshot['groups']})"
-                )
-            elif n_passes > 1 and ckpt is not None:
-                auto_resume = True
-                resume_snapshot = None
-                preserved = " (completed passes kept via checkpoint)"
-            else:
-                resume_snapshot = None
-                store = _drop_partial_store(store, h5_path, ckpt)
+            resume_snapshot, auto_resume, store, preserved = (
+                _preserve_retry_work(engine, n_passes, ckpt, store, h5_path)
+            )
             progress.log(
                 f"[dsk_tpu] {e}; retrying with wire=bitmap" + preserved
             )
@@ -499,19 +505,9 @@ def execute(params: RunParams) -> RunOutput:
             # streaming store holds only completed passes' rows either
             # way, so it stays open.  Without a checkpoint the store
             # cannot be aligned to passes: drop and recount.
-            resume_snapshot = getattr(engine, "_retry_snapshot", None)
-            preserved = ""
-            if resume_snapshot is not None and n_passes <= 1:
-                preserved = (
-                    f" (resuming from group {resume_snapshot['groups']})"
-                )
-            elif n_passes > 1 and ckpt is not None:
-                auto_resume = True
-                resume_snapshot = None
-                preserved = " (completed passes kept via checkpoint)"
-            else:
-                resume_snapshot = None
-                store = _drop_partial_store(store, h5_path, ckpt)
+            resume_snapshot, auto_resume, store, preserved = (
+                _preserve_retry_work(engine, n_passes, ckpt, store, h5_path)
+            )
             progress.log(
                 f"[dsk_tpu] {e}; retrying with send_slack={send_slack}"
                 + preserved

@@ -240,8 +240,10 @@ def _units_batch_stream(
                 chunks = chunk_codes(codes, k, row_len)
                 for ci, chunk in enumerate(chunks):
                     m = chunk.shape[0]
-                    c_inv = int((chunk > 3).sum())
                     is_final = ci == len(chunks) - 1
+                    # event budget applies to PACKED (final) chunks only;
+                    # continuation chunks take whole rows (as in C++)
+                    c_inv = int((chunk > 3).sum()) if is_final else 0
                     if not is_final or (
                         col > 0
                         and (col + 1 + m > row_len

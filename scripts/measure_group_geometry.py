@@ -63,13 +63,14 @@ def main():
     results = {}
     for name, G, cap in configs:
         log(f"[{name}] building engine (G={G}, cap={cap})...")
-        engine = DistCountEngine(
+        engine = DistCountEngine(  # hand-packed bitmap groups below
             k,
             mesh=default_mesh(),
             batch_rows=rows,
             row_len=row_len,
             buf_batches=G,
             table_cap=cap,
+            wire="bitmap",
         )
         batches = make_batches(G, rows, row_len, seed=0)
         ws, ms = zip(*(pack_codes(b.codes) for b in batches))

@@ -51,9 +51,9 @@ def measure(k: int, table_cap: int = 1 << 23, reps: int = 4) -> None:
     words, bitmap = np.stack(ws), np.stack(ms)
     bids = np.zeros((G, ROWS), np.int32)
 
-    eng = DistCountEngine(
+    eng = DistCountEngine(  # hand-packed bitmap groups below
         k, mesh=default_mesh(), batch_rows=ROWS, row_len=L,
-        buf_batches=G, table_cap=table_cap,
+        buf_batches=G, table_cap=table_cap, wire="bitmap",
     )
     t0 = time.perf_counter()
     eng.compile()

@@ -44,9 +44,9 @@ def main() -> None:
 
     k, rows, row_len, G = 31, 2048, 1024, 32
     cap = (1 << 20) + (1 << 19)
-    engine = DistCountEngine(
+    engine = DistCountEngine(  # hand-packed bitmap groups below
         k, mesh=default_mesh(), batch_rows=rows, row_len=row_len,
-        buf_batches=G, table_cap=cap,
+        buf_batches=G, table_cap=cap, wire="bitmap",
     )
     engine.compile(progress=log)
     batches = make_batches(G, rows, row_len, seed=0)

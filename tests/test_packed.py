@@ -216,3 +216,21 @@ def test_dist_engine_counts_through_packed_path():
         for row, c in zip(res.kmers, res.counts)
     }
     assert got == want
+
+
+def test_exc_wire_rejected_for_wide_rows():
+    # uint16 positions cannot address rows >= 65535: explicit exc must
+    # fail at CONSTRUCTION (not from a pack thread mid-stream), and the
+    # default must silently pick bitmap
+    from dsk_tpu.dist.engine import DistCountEngine, default_mesh
+
+    with pytest.raises(ValueError, match="row_len"):
+        DistCountEngine(
+            31, mesh=default_mesh(), batch_rows=8, row_len=1 << 16,
+            table_cap=1 << 11, wire="exc",
+        )
+    eng = DistCountEngine(
+        31, mesh=default_mesh(), batch_rows=8, row_len=1 << 16,
+        table_cap=1 << 11,
+    )
+    assert eng.wire == "bitmap"
