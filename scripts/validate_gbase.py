@@ -34,7 +34,7 @@ import os
 import sys
 import time
 
-GENOME_MB = 16  # Mbases of genome; distinct ~= genome size
+GENOME_MB = 16  # Mbases of genome; distinct ~= genome size (--genome-mb)
 READ_LEN = 126
 
 
@@ -112,9 +112,19 @@ def main() -> int:
     tune_malloc()
     import numpy as np
 
+    global GENOME_MB
     total_mb = 1024
     if "--bases" in sys.argv:
         total_mb = int(sys.argv[sys.argv.index("--bases") + 1])
+    if "--genome-mb" in sys.argv:
+        GENOME_MB = int(sys.argv[sys.argv.index("--genome-mb") + 1])
+    max_memory = 520
+    if "--max-memory" in sys.argv:
+        max_memory = int(sys.argv[sys.argv.index("--max-memory") + 1])
+    max_disk = 150
+    if "--max-disk" in sys.argv:
+        max_disk = int(sys.argv[sys.argv.index("--max-disk") + 1])
+    tag_dir = f"/tmp/gbase{total_mb}" if total_mb != 1024 else "/tmp/gbase"
 
     import jax
 
@@ -124,8 +134,8 @@ def main() -> int:
     assert int(np.asarray(x)[3]) == 3
     log("warmup ok")
 
-    os.makedirs("/tmp/gbase", exist_ok=True)
-    fasta = "/tmp/gbase/input.fasta"
+    os.makedirs(tag_dir, exist_ok=True)
+    fasta = f"{tag_dir}/input.fasta"
     gen_input(fasta, total_mb)
 
     import dsk_tpu.engine.run as runmod
@@ -151,7 +161,7 @@ def main() -> int:
         try:
             out = execute(RunParams(
                 file=fasta, kmer_size=31, abundance_min=3,
-                out=f"/tmp/gbase/{tag}", verbose=2, histo=1, **kw,
+                out=f"{tag_dir}/{tag}", verbose=2, histo=1, **kw,
             ))
         finally:
             runmod.plan_resources = orig
@@ -174,9 +184,9 @@ def main() -> int:
         return out
 
     # run A: clean, tight -max-disk (cache abort-and-reread path live)
-    run("a", None, max_memory=520, max_disk=150)
+    run("a", None, max_memory=max_memory, max_disk=max_disk)
     # run B: induced TableOverflow -> retry valve doubles passes
-    run("b", 0.6, max_memory=520)
+    run("b", 0.6, max_memory=max_memory)
 
     log("comparing stores (host lexsort of both tables)...")
     ka, ca, ha = load_store(results["a"]["h5"])
@@ -196,7 +206,7 @@ def main() -> int:
         "rows": int(ka.shape[0]),
     }
     print(json.dumps(results, indent=1))
-    with open("/tmp/gbase/results.json", "w") as f:
+    with open(f"{tag_dir}/results.json", "w") as f:
         json.dump(results, f, indent=1)
     return 0 if (same_hist and same_tab) else 1
 

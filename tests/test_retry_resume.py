@@ -148,3 +148,80 @@ def test_execute_routing_overflow_resumes(data_dir, tmp_path, monkeypatch):
             got[v] = got.get(v, 0) + a
     assert got == expect
     assert out.n_solid == len(expect)
+
+
+def test_execute_wire_overflow_resumes(tmp_path, monkeypatch):
+    """A LATE N-dense read (single chunk with > EXC_E internal N's, the
+    one case the batcher event cap cannot absorb) must ride the
+    WireOverflow -> bitmap valve WITH a snapshot resume, not a restart,
+    and the final counts must match the oracle."""
+    from collections import defaultdict
+
+    import dsk_tpu.engine.run as runmod
+
+    # 3000 clean 100bp reads, then the poisoned read, then a tail:
+    # with batch_rows=32 / row_len=128 / G=8 the poison lands ~group 12,
+    # past the group-8 snapshot
+    rng = np.random.default_rng(5)
+    acgt = "ACGT"
+    reads = [
+        "".join(acgt[c] for c in rng.integers(0, 4, 100))
+        for _ in range(3000)
+    ]
+    poison = "ACGTACGTACGTACGTACGT" + "NA" * 20 + "CCGTACGTACGTACGT"
+    reads.append(poison)
+    reads += [
+        "".join(acgt[c] for c in rng.integers(0, 4, 100))
+        for _ in range(100)
+    ]
+    fa = tmp_path / "late_ndense.fasta"
+    with open(fa, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f">r{i}\n{r}\n")
+
+    origp = runmod.plan_resources
+
+    def plan(*a, **kw):
+        p = origp(*a, **kw)
+        p.buf_batches = 8  # small groups: the periodic snapshot fires
+        return p
+
+    monkeypatch.setattr(runmod, "plan_resources", plan)
+    # one put stream: the prefetch pipeline packs at most ~2 groups
+    # ahead of the dispatch loop, so the pack-side raise happens after
+    # the group-8 snapshot was taken
+    monkeypatch.setenv("DSK_TPU_PUT_STREAMS", "1")
+
+    wires, snaps = [], []
+    orig_sel = runmod._select_engine
+
+    def sel(*a, **kw):
+        wires.append(kw.get("wire"))
+        return orig_sel(*a, **kw)
+
+    monkeypatch.setattr(runmod, "_select_engine", sel)
+    orig_count = DistCountEngine.count
+
+    def counting(self, bank, **kw):
+        snaps.append(kw.get("resume_state"))
+        return orig_count(self, bank, **kw)
+
+    monkeypatch.setattr(DistCountEngine, "count", counting)
+
+    out = execute(RunParams(
+        file=str(fa), kmer_size=27, abundance_min=1,
+        out=str(tmp_path / "wo"), verbose=0,
+        batch_rows=32, row_len=128, checkpoint=False,
+    ))
+    assert wires == [None, "bitmap"]
+    assert snaps[0] is None
+    assert snaps[1] is not None and snaps[1]["groups"] >= 8  # resumed
+
+    want: dict[int, int] = defaultdict(int)
+    for r in reads:
+        oracle.count_sequence(want, r.encode(), 27)
+    got = {}
+    with OutputStore.load(out.h5_path) as store:
+        for v, a in store.iter_items():
+            got[v] = got.get(v, 0) + a
+    assert got == dict(want)
