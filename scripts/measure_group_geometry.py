@@ -50,9 +50,12 @@ def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 31
 
     if k == 31:
+        # round-3 re-sweep: the weightless flush cut the per-row sort
+        # cost, so the optimum may have moved toward bigger groups
         configs = [
             ("G32-cap1.5M", 32, (1 << 20) + (1 << 19)),
             ("G48-cap1.5M", 48, (1 << 20) + (1 << 19)),
+            ("G64-cap1.5M", 64, (1 << 20) + (1 << 19)),
         ]
     else:
         configs = [

@@ -183,10 +183,23 @@ def main() -> int:
         }
         return out
 
-    # run A: clean, tight -max-disk (cache abort-and-reread path live)
-    run("a", None, max_memory=max_memory, max_disk=max_disk)
-    # run B: induced TableOverflow -> retry valve doubles passes
-    run("b", 0.6, max_memory=max_memory)
+    # --extra-leg TAG:SHRINK runs ONE more shrunk leg against an
+    # existing run A (e.g. when the default 0.6x shrink still fits the
+    # actual per-pass distinct count and B never overflows)
+    extra = None
+    if "--extra-leg" in sys.argv:
+        t, s = sys.argv[sys.argv.index("--extra-leg") + 1].split(":")
+        extra = (t, float(s))
+    if extra is not None:
+        tag, shrink = extra
+        run(tag, shrink, max_memory=max_memory)
+        results["a"] = {"h5": f"{tag_dir}/a.h5"}
+        results["b"] = results[tag]
+    else:
+        # run A: clean, tight -max-disk (cache abort-and-reread live)
+        run("a", None, max_memory=max_memory, max_disk=max_disk)
+        # run B: induced TableOverflow -> retry valve doubles passes
+        run("b", 0.6, max_memory=max_memory)
 
     log("comparing stores (host lexsort of both tables)...")
     ka, ca, ha = load_store(results["a"]["h5"])
