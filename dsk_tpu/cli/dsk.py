@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     opt.add_argument("-no-checkpoint", dest="no_checkpoint",
                      action="store_true",
                      help="disable per-pass checkpointing")
+    opt.add_argument("-wire", default=None, choices=["exc", "bitmap"],
+                     help="H2D wire format (default auto: sparse exc, "
+                          "bitmap on N-dense fallback / multi-process)")
     return p
 
 
@@ -128,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         send_slack=args.send_slack,
         max_retries=args.max_retries,
         flush_buckets=args.flush_buckets,
+        wire=args.wire,
         trace_dir=args.trace_dir,
     )
     try:

@@ -59,6 +59,8 @@ class RunParams:
     max_retries: int = 3     # auto re-plan attempts on capacity overflow
     flush_buckets: int = 1   # >1: S key-space buckets, batched flush sorts
                              # (bucketize at flush; 1 = flat lax.sort merge)
+    wire: str | None = None  # H2D wire format: None=auto (exc, bitmap on
+                             # multi-process/wide rows) | exc | bitmap
     trace_dir: str | None = None  # write a jax.profiler (xprof) device
                                   # trace of the count phase here
 
@@ -309,7 +311,9 @@ def execute(params: RunParams) -> RunOutput:
     send_slack = params.send_slack
     n_passes = plan.n_passes
     compact_segments = None  # auto; retry falls back to monolithic
-    wire = None  # engine default ("exc"); WireOverflow falls to "bitmap"
+    # engine default ("exc") unless the user pinned one;
+    # WireOverflow falls to "bitmap"
+    wire = params.wire
     attempt = 0
 
     # bounded-memory output (VERDICT r2 missing #2): on the dist engine
