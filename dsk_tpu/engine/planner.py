@@ -163,7 +163,12 @@ def _host_distinct_two_point(
     return ws[-2], ds[-2], ws[-1], ds[-1]
 
 
-_PROFILE_FRACTIONS = (0.25, 0.5, 1.0)
+# five nested prefixes: with only three, a single noisy point (hash
+# thinning is ~0.3% at high factors) widened the credible-G set and the
+# safe-direction max jumped non-monotonically with sample size
+# (measured 1.87x true at a 256 Mbase sample vs 1.16x at 128 M on the
+# 4 Gbase validation input; five points hold 1.16-1.21x at every size)
+_PROFILE_FRACTIONS = (0.125, 0.25, 0.5, 0.75, 1.0)
 
 
 def _host_distinct_profile(
@@ -358,8 +363,13 @@ def plan_resources(
     if sample and est_bases > (1 << 22):
         # the marginal new-kmer rate only drops once the sample spans a few
         # coverage multiples of the underlying genome — sample ~1/8th of
-        # the input (capped) rather than a fixed prefix
-        sample_bases = int(min(max(est_bases // 8, 2 << 20), 32 << 20))
+        # the input (capped) rather than a fixed prefix.  The cap is
+        # 128 Mbases: at the old 32 M cap a 4 Gbase / 64 Mbase-genome run
+        # sampled 0.5x coverage, the credible-fit range stayed wide, and
+        # the safe-direction estimate ran 31% over (88.3M vs 67.1M true
+        # — one extra pass).  A 128 M sample costs ~5 s host sweep and
+        # covers 2x, which collapses the fit spread (PERF.md round 3).
+        sample_bases = int(min(max(est_bases // 8, 2 << 20), 128 << 20))
         est_distinct = sample_distinct_estimate(
             bank, k, est_windows, sample_bases=sample_bases
         )
