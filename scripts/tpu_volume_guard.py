@@ -50,13 +50,18 @@ def main() -> int:
     import dsk_tpu.engine.run as runmod
     from dsk_tpu.engine.run import RunParams, execute
 
-    # --mode table: force a 1-pass plan — the TABLE overflows first
-    #   (67.1M distinct >> cap) and the valve ladders 1 -> 2 -> 4.
-    # --mode volume (default): force a 2-pass plan WITH a 48M-slot cap —
-    #   per-pass distinct (33.55M) now FITS the table, but per-pass
-    #   occurrences (2.21e9) exceed the int32 cumsum ceiling, so the
-    #   only guard that can fire is the device-side wrap detector
-    #   (CountVolumeOverflow); the valve doubles to 4 and finishes.
+    # --mode table: force a 1-pass plan at the planner cap — the TABLE
+    #   overflows first (67.1M distinct >> 33.5M cap) and the valve
+    #   ladders 1 -> 2 -> 4.
+    # --mode volume (default): force a 1-pass plan WITH a 96M-slot cap —
+    #   the 67.1M distinct now FIT the table, but the pass's 3.37e9
+    #   window occurrences exceed the int32 cumsum ceiling (wrap at 64%
+    #   of the stream), so the only guard that can fire is the
+    #   device-side wrap detector (CountVolumeOverflow); the valve
+    #   doubles to 2 passes (1.68e9 occ, 33.5M distinct each) and
+    #   finishes clean.  (A first attempt forced passes=2/cap=48M and
+    #   finished clean at 2 — 1.68e9 occ per pass is BELOW the ceiling;
+    #   occurrences are windows, not bases.)
     mode = "volume"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
@@ -71,10 +76,11 @@ def main() -> int:
             p.n_passes = 1
         else:
             log(f"plan said passes={p.n_passes} cap={p.table_cap}; "
-                f"FORCING passes=2 cap=48M (occ 2.21e9/pass > 2^31: "
-                f"only the volume wrap guard can fire)")
-            p.n_passes = 2
-            p.table_cap = 48 << 20
+                f"FORCING passes=1 cap=96M (3.37e9 windows > 2^31 but "
+                f"67.1M distinct < cap: only the volume wrap guard "
+                f"can fire)")
+            p.n_passes = 1
+            p.table_cap = 3 << 25
         return p
 
     runmod.plan_resources = plan
@@ -101,7 +107,7 @@ def main() -> int:
         and bool((ka == kv).all())
         and bool((ca == cv).all())
     )
-    forced = 1 if mode == "table" else 2
+    forced = 1
     result = {
         "gate": f"tpu_volume_guard_4gbase_{mode}",
         "guard_fired": final_passes > forced,  # valve ran past the forced plan
