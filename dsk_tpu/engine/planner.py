@@ -75,19 +75,20 @@ def sample_distinct_estimate(
     wins (the linear-marginal one is an upper bound, so the min stays
     safe):
 
-    - marginal rate: new-kmer rate at the end of the sample, linearly
-      extrapolated (x1.2).  Still overestimates — for coverage data the
+    - marginal rate: new-kmer rate over the last profile interval,
+      linearly extrapolated (x1.2).  Still overestimates — for coverage data the
       rate keeps decaying after the sample — measured ~2x on a 50x
       synthetic bank, which doubles table_cap and the flush sort.
     - coverage fit: d(w) = G(1 - exp(-w/G)) + eps*w.  The saturating
       term is uniform coverage of an underlying genome of G distinct
       kmers; the linear term is the floor of NOVEL kmers per window
-      (sequencing errors), which never saturates.  Fitted to THREE
-      nested prefix points (quarter, half, full): two points leave the
+      (sequencing errors), which never saturates.  Fitted to FIVE
+      nested prefix points (_PROFILE_FRACTIONS): two points leave the
       model under-determined — a (small G, large eps) corner passes
       through any two points and extrapolates linearly to ~4x over
-      (measured on 20x-coverage 100 bp reads); the quarter point's
-      curvature rejects it.  A 1.15 safety factor covers fit and
+      (measured on 20x-coverage 100 bp reads) — and three were
+      unstable to thinning noise (round 3, PERF.md); the inner points'
+      curvature rejects both.  A 1.15 safety factor covers fit and
       thinning noise.  Overflowing anyway is recoverable: the engine's
       typed-overflow auto-retry re-plans with more passes.
 
@@ -174,8 +175,8 @@ _PROFILE_FRACTIONS = (0.125, 0.25, 0.5, 0.75, 1.0)
 def _host_distinct_profile(
     bank: Bank, k: int, limit_bases: int
 ) -> tuple[list[int], list[int]]:
-    """Nested-prefix profile of a bank sample: (windows, distinct) at the
-    quarter/half/full points of the sampled prefix, host numpy.
+    """Nested-prefix profile of a bank sample: (windows, distinct) at
+    the _PROFILE_FRACTIONS points of the sampled prefix, host numpy.
 
     All sampled reads are concatenated with a single invalid separator
     (split-at-invalid semantics make windows never cross reads) so the

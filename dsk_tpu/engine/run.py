@@ -312,8 +312,14 @@ def execute(params: RunParams) -> RunOutput:
     n_passes = plan.n_passes
     compact_segments = None  # auto; retry falls back to monolithic
     # engine default ("exc") unless the user pinned one;
-    # WireOverflow falls to "bitmap"
+    # WireOverflow falls to "bitmap" (only for the auto choice — an
+    # explicit pin is honored or fails loudly, never silently swapped)
     wire = params.wire
+    if params.wire is not None and engine_kind != "dist":
+        progress.log(
+            f"[dsk_tpu] note: -wire {params.wire} has no effect on the "
+            f"'{engine_kind}' engine (no packed H2D wire)"
+        )
     attempt = 0
 
     # bounded-memory output (VERDICT r2 missing #2): on the dist engine
@@ -482,6 +488,16 @@ def execute(params: RunParams) -> RunOutput:
             break
         except WireOverflow as e:
             attempt += 1
+            if params.wire == "exc":
+                # the user PINNED exc (e.g. to benchmark the format):
+                # silently measuring bitmap instead would corrupt the
+                # experiment — fail loudly like the engine's other
+                # un-honorable-pin rejections (dist/engine.py)
+                raise WireOverflow(
+                    f"{e} — input needs the bitmap wire format but "
+                    f"-wire exc was pinned; drop the pin or pass "
+                    f"-wire bitmap"
+                ) from e
             if attempt > params.max_retries:
                 raise
             # sparse exc wire met an N-dense row (> E invalid positions):

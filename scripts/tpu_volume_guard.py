@@ -41,7 +41,9 @@ def main() -> int:
     assert int(np.asarray(x)[3]) == 3
     log("warmup ok")
 
-    fasta = "/tmp/gbase4096/input.fasta"
+    fasta = "/tmp/gbase4096/input.fasta"  # round-3 artifact name
+    if not os.path.exists(fasta):
+        fasta = "/tmp/gbase4096/input_g64M.fasta"  # keyed name
     ref_h5 = "/tmp/gbase4096/a.h5"
     if not (os.path.exists(fasta) and os.path.exists(ref_h5)):
         log("missing validate_gbase artifacts; run it first")
@@ -98,15 +100,8 @@ def main() -> int:
     log(f"DONE in {wall:.0f}s: n_solid={out.n_solid} "
         f"final passes={final_passes}")
 
-    from validate_gbase import load_store
-    ka, ca, ha = load_store(ref_h5)
-    kv, cv, hv = load_store(out.h5_path)
-    same_hist = ha.shape == hv.shape and bool((ha == hv).all())
-    same_tab = (
-        ka.shape == kv.shape
-        and bool((ka == kv).all())
-        and bool((ca == cv).all())
-    )
+    from validate_gbase import compare_stores
+    same_hist, same_tab, rows = compare_stores(ref_h5, out.h5_path)
     forced = 1
     result = {
         "gate": f"tpu_volume_guard_4gbase_{mode}",
@@ -115,7 +110,7 @@ def main() -> int:
         "wall_s": round(wall, 1),
         "histogram_identical": same_hist,
         "table_identical": same_tab,
-        "rows": int(ka.shape[0]),
+        "rows": rows,
     }
     print(json.dumps(result))
     ok = result["guard_fired"] and same_hist and same_tab

@@ -105,6 +105,20 @@ def load_store(path):
     return k[order], c[order], hist
 
 
+def compare_stores(a_h5: str, b_h5: str) -> tuple[bool, bool, int]:
+    """(histogram identical, table identical, rows) between two stores
+    — the shared identity gate for this script and tpu_volume_guard."""
+    ka, ca, ha = load_store(a_h5)
+    kb, cb, hb = load_store(b_h5)
+    same_hist = ha.shape == hb.shape and bool((ha == hb).all())
+    same_tab = (
+        ka.shape == kb.shape
+        and bool((ka == kb).all())
+        and bool((ca == cb).all())
+    )
+    return same_hist, same_tab, int(ka.shape[0])
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from dsk_tpu.utils.hostmem import tune_malloc
@@ -135,7 +149,12 @@ def main() -> int:
     log("warmup ok")
 
     os.makedirs(tag_dir, exist_ok=True)
-    fasta = f"{tag_dir}/input.fasta"
+    # cache key includes the genome size: a changed --genome-mb must
+    # not silently reuse an input generated from a different genome
+    fasta = f"{tag_dir}/input_g{GENOME_MB}M.fasta"
+    legacy = f"{tag_dir}/input.fasta"
+    if GENOME_MB == 64 and os.path.exists(legacy):
+        fasta = legacy  # round-3 artifacts predate the keyed name
     gen_input(fasta, total_mb)
 
     import dsk_tpu.engine.run as runmod
@@ -192,6 +211,15 @@ def main() -> int:
         extra = (t, float(s))
     if extra is not None:
         tag, shrink = extra
+        if tag in ("a", "b"):
+            raise SystemExit(
+                f"--extra-leg tag {tag!r} would clobber the reference runs"
+            )
+        if not os.path.exists(f"{tag_dir}/a.h5"):
+            raise SystemExit(
+                "--extra-leg needs a completed run A in "
+                f"{tag_dir} (run without --extra-leg first)"
+            )
         run(tag, shrink, max_memory=max_memory)
         results["a"] = {"h5": f"{tag_dir}/a.h5"}
         results["b"] = results[tag]
@@ -202,21 +230,14 @@ def main() -> int:
         run("b", 0.6, max_memory=max_memory)
 
     log("comparing stores (host lexsort of both tables)...")
-    ka, ca, ha = load_store(results["a"]["h5"])
-    kb, cb, hb = load_store(results["b"]["h5"])
-    same_hist = (
-        ha.shape == hb.shape and bool((ha == hb).all())
-    )
-    same_tab = (
-        ka.shape == kb.shape
-        and bool((ka == kb).all())
-        and bool((ca == cb).all())
+    same_hist, same_tab, rows = compare_stores(
+        results["a"]["h5"], results["b"]["h5"]
     )
     log(f"histogram identical: {same_hist}; table identical: {same_tab}")
     results["identity"] = {
         "histogram": same_hist,
         "table": same_tab,
-        "rows": int(ka.shape[0]),
+        "rows": rows,
     }
     print(json.dumps(results, indent=1))
     with open(f"{tag_dir}/results.json", "w") as f:

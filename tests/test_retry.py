@@ -130,3 +130,25 @@ def test_execute_falls_back_to_bitmap_wire_on_n_dense_input(
         if c and i > 0
     }
     assert got == dict(hist)
+
+
+def test_pinned_exc_wire_fails_loudly_on_n_dense_input(
+    tmp_path, monkeypatch
+):
+    """An explicit -wire exc pin must NOT be silently demoted to bitmap
+    by the fallback valve (it would corrupt a format benchmark): the
+    run fails with a clear WireOverflow instead."""
+    from dsk_tpu.io.packed import WireOverflow
+
+    read = "ACGTACGTACGTACGTACGTACGTACGTAC" + "NACGTA" * 30
+    fa = tmp_path / "ndense2.fasta"
+    with open(fa, "w") as fh:
+        for i in range(10):
+            fh.write(f">r{i}\n{read}\n")
+    params = RunParams(
+        file=str(fa), kmer_size=7, abundance_min=1,
+        out=str(tmp_path / "p"), engine="dist", verbose=0,
+        checkpoint=False, wire="exc",
+    )
+    with pytest.raises(WireOverflow, match="pinned"):
+        execute(params)
