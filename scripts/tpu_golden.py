@@ -1,15 +1,25 @@
-"""On-hardware golden gate (VERDICT r2 weak #4).
+"""On-hardware golden gates (VERDICT r2 weak #4, extended round 3).
 
-Counts tests/data/read50x_ref10K_e001.fasta.gz at k=27 through the DIST
-engine ON THE REAL TPU CHIP (JAX_PLATFORMS=axon) and checks, in order:
+Counts the reference's golden fixtures through the DIST engine ON THE
+REAL TPU CHIP (JAX_PLATFORMS=axon) and diffs each against its committed
+oracle — the same contract as /root/reference/scripts/simple_test.sh,
+but executed on the hardware the framework targets:
 
-1. the histogram byte-matches tests/data/k27.histo (the reference's
-   simple_test.sh test 1 oracle, /root/reference/scripts/simple_test.sh:36);
-2. the full downloaded (kmer, count) table equals the CPU oracle dict —
-   93948 distinct kmers, value-exact.
+  read50x  k=27  histogram vs k27.histo + full table vs the CPU oracle
+                 (reference test 1, scripts/simple_test.sh:36)
+  rlong    k=27  long/variable reads, histogram vs rlong.histo
+                 (reference test 3, scripts/simple_test.sh:70)
+  readN    k=20  split-at-N semantics, histogram vs readN.histo
+                 (reference test 6, scripts/simple_test.sh:122)
+  short    k=15  k == read length, exact text vs short.parse_results
+                 (reference test 4, scripts/simple_test.sh:88)
+  bigk     k=127 W=8 word planes vs the CPU oracle on a deterministic
+                 synthetic bank (no reference fixture exists past k=32;
+                 span dispatch parity, /root/reference/src/DSK.cpp:103)
 
-Run: JAX_PLATFORMS=axon python scripts/tpu_golden.py
-Exits 0 on parity, 1 on any mismatch; prints one JSON line.
+Run: JAX_PLATFORMS=axon python scripts/tpu_golden.py [--gates a,b,...]
+Exits 0 when every requested gate matches; prints one JSON line per
+gate plus a summary line.
 
 Protocol per CLAUDE.md: tune_malloc first, tiny put+fetch warmup before
 any real work (half of fresh processes hang on their first D2H
@@ -18,6 +28,7 @@ otherwise), persistent compile cache, progress on stderr.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -25,14 +36,130 @@ import time
 
 # runnable as `python scripts/tpu_golden.py` from the repo root without
 # PYTHONPATH: the package lives one directory up from this file
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+DATA = os.path.join(ROOT, "tests/data")
 
 
 def log(msg: str) -> None:
     print(f"[tpu_golden] {msg}", file=sys.stderr, flush=True)
 
 
+def load_histo(path: str) -> dict[int, int]:
+    """Fixture -> {abundance: n_distinct}, zero bins dropped (fixtures
+    list all 10,000 bins; count_stream histograms are dense arrays)."""
+    want = {}
+    with open(path) as f:
+        for line in f:
+            a, c = line.split()
+            if int(c) > 0:
+                want[int(a)] = int(c)
+    return want
+
+
+def histo_dict(histogram) -> dict[int, int]:
+    return {i: int(c) for i, c in enumerate(histogram) if i > 0 and c > 0}
+
+
+def synth_bigk_bank(path: str) -> None:
+    """Deterministic synthetic FASTA for the k=127 gate: 24 reads x 600 bp
+    over a fixed seed (mostly-distinct 127-mers exercise all 8 word
+    planes through sort, dedup, and histogram)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260820)
+    with open(path, "w") as f:
+        genome = rng.integers(0, 4, size=6000, dtype=np.uint8)
+        for i in range(24):
+            start = int(rng.integers(0, 5400))
+            codes = genome[start:start + 600]
+            seq = "".join("ACTG"[c] for c in codes)
+            f.write(f">r{i}\n{seq}\n")
+
+
+def run_gate(name: str, jax, np, mesh, progress) -> dict:
+    from dsk_tpu import oracle
+    from dsk_tpu.dist.engine import DistCountEngine
+    from dsk_tpu.io.bank import open_bank
+    from dsk_tpu.io.batch import batch_iterator
+    from dsk_tpu.kmer import codec
+
+    spec = {
+        # name: (uri, k, batch_rows, row_len, table_cap, histo fixture)
+        "read50x": (os.path.join(DATA, "read50x_ref10K_e001.fasta.gz"),
+                    27, 512, 128, 1 << 17, "k27.histo"),
+        "rlong": (os.path.join(DATA, "longread.fasta"),
+                  27, 256, 256, 1 << 17, "rlong.histo"),
+        "readN": (os.path.join(DATA, "readN.fasta"),
+                  20, 64, 128, 1 << 12, "readN.histo"),
+        "short": (os.path.join(DATA, "shortread.fasta"),
+                  15, 64, 128, 1 << 12, None),
+        "bigk": (os.path.join("/tmp", "tpu_golden_bigk.fasta"),
+                 127, 64, 640, 1 << 15, None),
+    }[name]
+    uri, k, batch_rows, row_len, table_cap, histo_fix = spec
+    if name == "bigk":
+        synth_bigk_bank(uri)
+
+    engine = DistCountEngine(
+        k, mesh=mesh, batch_rows=batch_rows, row_len=row_len,
+        table_cap=table_cap, buf_batches=8,
+    )
+    t0 = time.perf_counter()
+    engine.compile(progress=progress)
+    t_compile = time.perf_counter() - t0
+
+    bank = open_bank(uri)
+    t0 = time.perf_counter()
+    res = engine.count_stream(
+        batch_iterator(bank, k, batch_rows, row_len), nb_banks=1
+    )
+    t_count = time.perf_counter() - t0
+    log(f"{name}: {res.info['n_bases']} bases, k={k}, "
+        f"compile {t_compile:.1f}s, count {t_count:.1f}s")
+
+    checks = {}
+    if histo_fix is not None:
+        want = load_histo(os.path.join(DATA, histo_fix))
+        checks["histo_match"] = histo_dict(res.histogram) == want
+
+    # every gate: full table value-exact vs the trusted CPU oracle
+    expect = oracle.count_bank(uri, k)
+    table = {
+        codec.words_to_value(row): int(c)
+        for row, c in zip(res.kmers, res.counts)
+    }
+    checks["table_match"] = table == expect
+
+    if name == "short":
+        # reference test 4's exact text contract (short.parse_results)
+        with open(os.path.join(DATA, "short.parse_results")) as f:
+            want_lines = sorted(f.read().split("\n"))
+        got_lines = sorted(
+            [""] + [f"{codec.kmer_to_string(v, k)} {c}"
+                    for v, c in table.items()]
+        )
+        checks["text_match"] = got_lines == want_lines
+
+    ok = all(checks.values())
+    out = {
+        "gate": f"tpu_golden_{name}_k{k}_dist",
+        **checks,
+        "n_distinct": len(table),
+        "compile_s": round(t_compile, 2),
+        "count_s": round(t_count, 2),
+    }
+    log(f"{name}: {'MATCH' if ok else 'MISMATCH'} {checks} "
+        f"({len(table)} distinct)")
+    return out
+
+
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gates", default="read50x,rlong,readN,short,bigk")
+    args = ap.parse_args()
+
     from dsk_tpu.utils.hostmem import tune_malloc
 
     tune_malloc()
@@ -55,71 +182,27 @@ def main() -> int:
     assert int(np.asarray(x)[3]) == 3
     log(f"warmup put+fetch ok in {time.perf_counter() - t0:.1f}s")
 
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    uri = os.path.join(root, "tests/data/read50x_ref10K_e001.fasta.gz")
-    histo_path = os.path.join(root, "tests/data/k27.histo")
-    k = 27
-
-    from dsk_tpu.dist.engine import DistCountEngine, Mesh
-    from dsk_tpu.io.bank import open_bank
-    from dsk_tpu.io.batch import batch_iterator
+    from dsk_tpu.dist.engine import Mesh
 
     mesh = Mesh(np.array(jax.devices()[:1]), ("chips",))
-    engine = DistCountEngine(
-        k, mesh=mesh, batch_rows=512, row_len=128, table_cap=1 << 17,
-        buf_batches=8,
+
+    results = []
+    for name in args.gates.split(","):
+        results.append(run_gate(name.strip(), jax, np, mesh, log))
+        print(json.dumps(results[-1]), flush=True)
+
+    all_ok = all(
+        all(v for kk, v in r.items() if kk.endswith("_match"))
+        for r in results
     )
-    engine.compile(progress=log)
-
-    bank = open_bank(uri)
-    t0 = time.perf_counter()
-    res = engine.count_stream(
-        batch_iterator(bank, k, 512, 128), nb_banks=1
-    )
-    t_count = time.perf_counter() - t0
-    log(f"count_stream: {res.info['n_bases']} bases in {t_count:.1f}s")
-
-    # gate 1: histogram vs the committed reference fixture
-    want = {}
-    with open(histo_path) as f:
-        for line in f:  # fixture lists ALL bins 1..10000, zeros included
-            a, c = line.split()
-            if int(c) > 0:
-                want[int(a)] = int(c)
-    got = {
-        i: int(c) for i, c in enumerate(res.histogram) if i > 0 and c > 0
-    }
-    histo_ok = got == want
-    log(f"histogram vs k27.histo: {'MATCH' if histo_ok else 'MISMATCH'}")
-
-    # gate 2: full table vs the CPU oracle (value-exact)
-    from dsk_tpu import oracle
-    from dsk_tpu.kmer import codec
-
-    t0 = time.perf_counter()
-    expect = oracle.count_bank(uri, k)
-    log(f"cpu oracle: {len(expect)} distinct in {time.perf_counter()-t0:.1f}s")
-    table = {
-        codec.words_to_value(row): int(c)
-        for row, c in zip(res.kmers, res.counts)
-    }
-    table_ok = table == expect
-    log(f"table vs oracle: {'MATCH' if table_ok else 'MISMATCH'} "
-        f"({len(table)} vs {len(expect)} kmers)")
-
-    out = {
-        "gate": "tpu_golden_read50x_k27_dist",
+    print(json.dumps({
+        "gate": "tpu_golden_summary",
         "platform": dev.platform,
         "device": str(dev),
-        "histo_match": histo_ok,
-        "table_match": table_ok,
-        "n_distinct": len(table),
-        "count_s": round(t_count, 2),
-    }
-    print(json.dumps(out))
-    return 0 if (histo_ok and table_ok) else 1
+        "gates": len(results),
+        "all_match": all_ok,
+    }))
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
