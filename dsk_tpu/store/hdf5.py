@@ -201,7 +201,8 @@ class OutputStore:
         rec["abundance"] = hist[1:]
         if "histogram" in self._f["histogram"]:  # streaming-resume reopen
             del self._f["histogram"]["histogram"]
-        self._f["histogram"].create_dataset("histogram", data=rec)
+        kw = {"compression": "gzip"} if getattr(self, "_compress", False) else {}
+        self._f["histogram"].create_dataset("histogram", data=rec, **kw)
 
     def set_run_info(self, props: dict) -> None:
         """Persist the run-info tree as xml + json attrs on the dsk group

@@ -1,5 +1,6 @@
 """Store round-trip, processors (solidity kinds, histo2D), and CLI tools."""
 
+import os
 import subprocess
 import sys
 
@@ -293,3 +294,75 @@ def test_album_file_end_to_end(data_dir, tmp_path):
     files = f"{data_dir}/c1.fasta.gz,{data_dir}/c2.fasta.gz"
     with OutputStore.load(out.h5_path) as store:
         assert dict(store.iter_items()) == oracle.count_bank(files, 27)
+
+
+def test_solid_kmers_out_and_out_compress(data_dir, tmp_path):
+    """-solid-kmers-out redirects the store; -out-compress gzips its
+    datasets; both leave the dump byte-identical (the reference's
+    upstream parser defines both flags, SURVEY.md §2.2 CLI surface)."""
+    import h5py
+
+    from dsk_tpu.store import text as store_text
+
+    def dump_lines(h5_path):
+        import io as _io
+
+        with OutputStore.load(h5_path) as store:
+            buf = _io.StringIO()
+            store_text.dump_ascii(store, buf, False, False)
+            return sorted(buf.getvalue().splitlines())
+
+    plain = RunParams(
+        file=str(data_dir / "longread.fasta"), kmer_size=27,
+        out=str(tmp_path / "plain"), verbose=0,
+        batch_rows=256, row_len=256,
+    )
+    execute(plain)
+
+    custom_h5 = str(tmp_path / "elsewhere" / "custom.h5")
+    os.makedirs(os.path.dirname(custom_h5))
+    redirected = RunParams(
+        file=str(data_dir / "longread.fasta"), kmer_size=27,
+        out=str(tmp_path / "redir"), solid_kmers_out=custom_h5,
+        out_compress=True, verbose=0, batch_rows=256, row_len=256,
+    )
+    out = execute(redirected)
+    assert out.h5_path == custom_h5
+    assert os.path.exists(custom_h5)
+    assert not os.path.exists(str(tmp_path / "redir") + ".h5")
+
+    with h5py.File(custom_h5, "r") as f:
+        parts = [n for n in f["dsk/solid"]]
+        assert parts, "no solid partitions written"
+        for n in parts:
+            ds = f["dsk/solid"][n]
+            if ds.shape[0]:
+                assert ds.compression == "gzip"
+        assert f["histogram/histogram"].compression == "gzip"
+
+    assert dump_lines(custom_h5) == dump_lines(str(tmp_path / "plain") + ".h5")
+
+
+def test_out_tmp_places_cache(data_dir, tmp_path, monkeypatch):
+    """-out-tmp points the multipass 2-bit batch cache at a chosen
+    directory (the reference's temp-partition dir, README.md:127)."""
+    from dsk_tpu.engine.counter import CountEngine
+    from dsk_tpu.io import cache as bcache
+
+    tmpdir = tmp_path / "scratch"
+    tmpdir.mkdir()
+    seen = []
+    orig = bcache.BatchCacheWriter
+
+    def recorder(path, *a, **kw):
+        seen.append(path)
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(bcache, "BatchCacheWriter", recorder)
+    uri = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    eng = CountEngine(27, batch_rows=512, row_len=128)
+    res = eng.count(uri, n_passes=2, cache_dir=str(tmpdir))
+    got = {codec.words_to_value(r): int(a) for r, a in zip(res.kmers, res.counts)}
+    assert got == oracle.count_bank(uri, 27)
+    assert seen and all(os.path.dirname(p) == str(tmpdir) for p in seen)
+    assert list(tmpdir.iterdir()) == []  # cache cleaned up after the run
