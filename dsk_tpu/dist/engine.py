@@ -155,6 +155,9 @@ class DistCountEngine:
         flush_mode: str = "sort",
         compact_segments: int | None = None,
         wire: str | None = None,
+        spill_partitions: int = 0,
+        spill_dir: str | None = None,
+        spill_chunk_rows: int = 0,
     ):
         """routing: "hash" (per-kmer hash owners, local dedup before the
         all_to_all) or "superkmer" (KMC3-style: consecutive windows
@@ -1225,10 +1228,6 @@ class DistCountEngine:
             tab_p, tab_c, over, tover = self._init_state()
             n_bases = 0
             n_reads = 0
-        group_sharding = NamedSharding(self.mesh, P(None, AXIS, None))
-        bid_sharding = NamedSharding(self.mesh, P(None, AXIS))
-        single = plan.n == 1
-        device0 = self.mesh.devices.flat[0]
         G = plan.buf_batches
 
         # work-preserving retry snapshots (VERDICT r2 weak #2): each
@@ -1275,6 +1274,86 @@ class DistCountEngine:
 
             batches = lockstep_batches(batches, make_empty, group=G)
 
+        import time as _time
+
+        # sub-phase attribution (cheap perf_counter pairs): t_gen is the
+        # reader+stack time and t_put the H2D time, both ON the prefetch
+        # thread; t_feed is how long the dispatch loop WAITED for them;
+        # t_drain is the final sync where all queued device work lands.
+        # Overlap means t_feed << t_gen+t_put when the device is the
+        # bottleneck, and t_drain ~ 0 when the host is.
+        sub = {"t_gen": 0.0, "t_put": 0.0, "t_feed": 0.0, "t_drain": 0.0}
+        wire_bytes = [0]  # H2D payload accounting (window-health diag)
+        t0 = _time.perf_counter()
+        n_groups = 0
+        feed = self._feed_groups(batches, sub, wire_bytes)
+        from dsk_tpu.io.packed import WireOverflow
+
+        while True:
+            f0 = _time.perf_counter()
+            try:
+                item = next(feed, None)
+            except WireOverflow:
+                # raised by the exc packer on a put thread (N-dense
+                # row): device tables are valid through the last
+                # dispatched group, so attach the snapshot — the valve
+                # (engine/run.py) rebuilds with wire="bitmap" and
+                # resumes rather than recounting from zero
+                self._retry_snapshot = snap
+                raise
+            sub["t_feed"] += _time.perf_counter() - f0
+            if item is None:
+                break
+            words_dev, bitmap_dev, bids_dev, bb, rr = item
+            n_bases += bb
+            n_reads += rr
+            tab_p, tab_c, over, tover = self._step(
+                words_dev, bitmap_dev, bids_dev, tab_p, tab_c, over,
+                tover, jnp.int32(pass_id),
+            )
+            n_groups += 1
+            if progress_cb is not None and n_groups % 8 == 0:
+                progress_cb(
+                    (resumed_groups + n_groups) * G, n_bases, n_reads
+                )
+            # fail fast every few groups: an overflowing long run must not
+            # stream to completion before erroring (each check is a host
+            # sync, so amortize it).  A passing check refreshes the retry
+            # snapshot; a failing one attaches the last good snapshot to
+            # the raised overflow's engine so the valve can resume.
+            if n_groups % 8 == 0:
+                try:
+                    self._check_overflow(over, tover)
+                except (RoutingOverflow, TableOverflow):
+                    self._retry_snapshot = snap
+                    raise
+                snap = take_snapshot()
+        return self._finish_stream(
+            tab_p, tab_c, over, tover, snap, n_bases, n_reads, nb_banks,
+            resumed_groups, sub, wire_bytes, t0, finalize,
+        )
+
+    def _feed_groups(self, batches, sub, wire_bytes):
+        """The host feed pipeline, shared by the table stream
+        (count_stream) and the spill stream (_spill_stream): pack each
+        batch to the packed wire format, transfer over parallel put
+        streams, and yield ONE DEVICE GROUP per flush group as
+        (words_dev, bitmap_dev, bids_dev, n_bases, n_reads).
+
+        Single-device engines transfer per BATCH (16 parallel put
+        streams, packed on the pool threads) and stack G batches into a
+        group with a tiny jitted device-side stack; sharded /
+        multi-process engines pack+stack on the host and transfer whole
+        groups.  A WireOverflow from the exc packer propagates to the
+        consumer's next()."""
+        import time as _time
+
+        plan = self.plan
+        G = plan.buf_batches
+        group_sharding = NamedSharding(self.mesh, P(None, AXIS, None))
+        bid_sharding = NamedSharding(self.mesh, P(None, AXIS))
+        single = plan.n == 1
+        device0 = self.mesh.devices.flat[0]
         local_rows = (
             self.local_batch_rows if self.multi_process else self.batch_rows
         )
@@ -1395,17 +1474,6 @@ class DistCountEngine:
             _ = np.asarray(words_dev[0, 0, 0])
             return (words_dev, bitmap_dev, bids_dev, bb, rr)
 
-        import time as _time
-
-        # sub-phase attribution (cheap perf_counter pairs): t_gen is the
-        # reader+stack time and t_put the H2D time, both ON the prefetch
-        # thread; t_feed is how long the dispatch loop WAITED for them;
-        # t_drain is the final sync where all queued device work lands.
-        # Overlap means t_feed << t_gen+t_put when the device is the
-        # bottleneck, and t_drain ~ 0 when the host is.
-        sub = {"t_gen": 0.0, "t_put": 0.0, "t_feed": 0.0, "t_drain": 0.0}
-        wire_bytes = [0]  # H2D payload accounting (window-health diag)
-
         # single-device engines transfer per BATCH, not per group: the
         # step still consumes (G, ...) stacked arrays, but a tiny jitted
         # device-side stack assembles them from G per-batch transfers, so
@@ -1459,8 +1527,6 @@ class DistCountEngine:
         put_streams = int(_os.environ.get("DSK_TPU_PUT_STREAMS", "16"))
         from dsk_tpu.io.prefetch import parallel_map
 
-        t0 = _time.perf_counter()
-        n_groups = 0
         depth = max(2, put_streams) * (G if per_batch_wire else 1)
         feed = iter(
             parallel_map(
@@ -1477,28 +1543,14 @@ class DistCountEngine:
                 ),
                 donate_argnums=(0, 1, 2),
             )
-        from dsk_tpu.io.packed import WireOverflow
 
         pend: list = []
-        while True:
-            f0 = _time.perf_counter()
-            try:
-                item = next(feed, None)
-            except WireOverflow:
-                # raised by the exc packer on a put thread (N-dense
-                # row): device tables are valid through the last
-                # dispatched group, so attach the snapshot — the valve
-                # (engine/run.py) rebuilds with wire="bitmap" and
-                # resumes rather than recounting from zero
-                self._retry_snapshot = snap
-                raise
-            sub["t_feed"] += _time.perf_counter() - f0
-            if item is None:
-                break
+        bb_acc = rr_acc = 0
+        for item in feed:
             if per_batch_wire:
                 pend.append(item)
-                n_bases += item[3]
-                n_reads += item[4]
+                bb_acc += item[3]
+                rr_acc += item[4]
                 if len(pend) < G:
                     continue
                 words_dev, bitmap_dev, bids_dev = self._stack_group(
@@ -1507,31 +1559,20 @@ class DistCountEngine:
                     [p[2] for p in pend],
                 )
                 pend = []
+                yield (words_dev, bitmap_dev, bids_dev, bb_acc, rr_acc)
+                bb_acc = rr_acc = 0
             else:
-                words_dev, bitmap_dev, bids_dev, bb, rr = item
-                n_bases += bb
-                n_reads += rr
-            tab_p, tab_c, over, tover = self._step(
-                words_dev, bitmap_dev, bids_dev, tab_p, tab_c, over,
-                tover, jnp.int32(pass_id),
-            )
-            n_groups += 1
-            if progress_cb is not None and n_groups % 8 == 0:
-                progress_cb(
-                    (resumed_groups + n_groups) * G, n_bases, n_reads
-                )
-            # fail fast every few groups: an overflowing long run must not
-            # stream to completion before erroring (each check is a host
-            # sync, so amortize it).  A passing check refreshes the retry
-            # snapshot; a failing one attaches the last good snapshot to
-            # the raised overflow's engine so the valve can resume.
-            if n_groups % 8 == 0:
-                try:
-                    self._check_overflow(over, tover)
-                except (RoutingOverflow, TableOverflow):
-                    self._retry_snapshot = snap
-                    raise
-                snap = take_snapshot()
+                yield item
+
+    def _finish_stream(
+        self, tab_p, tab_c, over, tover, snap, n_bases, n_reads,
+        nb_banks, resumed_groups, sub, wire_bytes, t0, finalize,
+    ) -> CountResult:
+        """Drain + finalize a table stream: final overflow check,
+        histogram, and (unless finalize=False) the table gather."""
+        import time as _time
+
+        k, W, plan = self.k, self.W, self.plan
         d0 = _time.perf_counter()
         try:
             self._check_overflow(over, tover)  # final host sync: drained

@@ -133,12 +133,14 @@ def run_gate(name: str, jax, np, mesh, progress) -> dict:
     checks["table_match"] = table == expect
 
     if name == "short":
-        # reference test 4's exact text contract (short.parse_results)
+        # reference test 4's exact text contract (short.parse_results);
+        # both sides normalized the same way as test_oracle.py:57 (strip
+        # + drop blank lines) so the check doesn't hinge on the fixture's
+        # trailing-newline count (ADVICE r3)
         with open(os.path.join(DATA, "short.parse_results")) as f:
-            want_lines = sorted(f.read().split("\n"))
+            want_lines = sorted(ln.strip() for ln in f if ln.strip())
         got_lines = sorted(
-            [""] + [f"{codec.kmer_to_string(v, k)} {c}"
-                    for v, c in table.items()]
+            f"{codec.kmer_to_string(v, k)} {c}" for v, c in table.items()
         )
         checks["text_match"] = got_lines == want_lines
 
@@ -155,10 +157,20 @@ def run_gate(name: str, jax, np, mesh, progress) -> dict:
     return out
 
 
+VALID_GATES = ("read50x", "rlong", "readN", "short", "bigk")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gates", default="read50x,rlong,readN,short,bigk")
+    ap.add_argument("--gates", default=",".join(VALID_GATES))
     args = ap.parse_args()
+
+    gates = [g.strip() for g in args.gates.split(",") if g.strip()]
+    unknown = [g for g in gates if g not in VALID_GATES]
+    if unknown:  # fail early with a usable message, not a KeyError
+        ap.error(
+            f"unknown gate(s) {unknown}; valid: {', '.join(VALID_GATES)}"
+        )
 
     from dsk_tpu.utils.hostmem import tune_malloc
 
@@ -187,8 +199,8 @@ def main() -> int:
     mesh = Mesh(np.array(jax.devices()[:1]), ("chips",))
 
     results = []
-    for name in args.gates.split(","):
-        results.append(run_gate(name.strip(), jax, np, mesh, log))
+    for name in gates:
+        results.append(run_gate(name, jax, np, mesh, log))
         print(json.dumps(results[-1]), flush=True)
 
     all_ok = all(
