@@ -1,0 +1,179 @@
+"""Host-side partition spill (dist/spill.py + engine spill mode).
+
+The disk half of DSK's fill/count split (reference doc/paper.tex:71-91:
+routed kmers live in disk partitions, counted one at a time, so memory
+stays exactly M regardless of scale — doc/human_log:4's 7 passes x 86
+partitions in 4 GB).  VERDICT r3 missing #2.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dsk_tpu import oracle
+from dsk_tpu.dist.spill import (
+    SpillDiskOverflow,
+    SpillStore,
+    kmer_hash_planes_np,
+)
+from dsk_tpu.kmer import codec
+
+URI = os.path.join(os.path.dirname(__file__), "data", "read50x_ref10K_e001.fasta.gz")
+K = 27
+
+
+def test_hash_parity_np_vs_device():
+    """The host split must agree bit-exactly with the device's pid
+    assignment (kmer/device.py kmer_hash_planes)."""
+    import jax.numpy as jnp
+
+    from dsk_tpu.kmer.device import kmer_hash_planes
+
+    rng = np.random.default_rng(7)
+    planes = [rng.integers(0, 2**32, size=257, dtype=np.uint32) for _ in range(3)]
+    dev = np.asarray(kmer_hash_planes(tuple(jnp.asarray(p) for p in planes)))
+    host = kmer_hash_planes_np(planes)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_spill_store_roundtrip(tmp_path):
+    st = SpillStore(str(tmp_path / "sp"), wk=2)
+    rows = np.arange(30, dtype=np.uint32).reshape(10, 3)
+    st.append(3, rows[:6])
+    st.append(3, rows[6:])
+    st.append(1, rows[:2])
+    assert st.rows(3) == 10 and st.rows(1) == 2
+    assert st.partitions() == [1, 3]
+    np.testing.assert_array_equal(st.read_chunk(3, 0, 10), rows)
+    np.testing.assert_array_equal(st.read_chunk(3, 8, 10), rows[8:])
+    assert st.read_chunk(3, 10, 5).shape == (0, 3)
+    st.delete()
+    assert not os.path.exists(st._path(3))
+
+
+def test_spill_store_handle_pool(tmp_path):
+    """More partitions than MAX_OPEN handles: appends/reads stay correct
+    (the reference's figure-1 sweep dies on open-file exhaustion,
+    doc/figure-1/droso_log:7 — the LRU pool prevents that here)."""
+    st = SpillStore(str(tmp_path / "sp"), wk=1)
+    n_parts = SpillStore.MAX_OPEN + 9
+    for pid in range(n_parts):
+        st.append(pid, np.full((2, 2), pid, np.uint32))
+        st.append(pid, np.full((1, 2), pid + 1000, np.uint32))
+    assert len(st._open) <= SpillStore.MAX_OPEN
+    for pid in range(n_parts):
+        got = st.read_chunk(pid, 0, 3)
+        assert got.shape == (3, 2)
+        assert int(got[0, 0]) == pid and int(got[2, 0]) == pid + 1000
+    st.delete()
+
+
+def test_spill_store_split(tmp_path):
+    """Modulus-doubling split: children partition the parent exactly by
+    the routing hash, nothing lost or duplicated."""
+    st = SpillStore(str(tmp_path / "sp"), wk=2)
+    rng = np.random.default_rng(11)
+    rows = rng.integers(0, 2**32, size=(500, 3), dtype=np.uint32)
+    P, pid = 4, 2
+    h = kmer_hash_planes_np([rows[:, 0], rows[:, 1]])
+    mine = rows[h % P == pid]
+    st.append(pid, mine)
+    st.split(pid, P, pid, new_pid=7)
+    lo = st.read_chunk(pid, 0, st.rows(pid))
+    hi = st.read_chunk(7, 0, st.rows(7))
+    assert lo.shape[0] + hi.shape[0] == mine.shape[0]
+    hlo = kmer_hash_planes_np([lo[:, 0], lo[:, 1]])
+    hhi = kmer_hash_planes_np([hi[:, 0], hi[:, 1]])
+    assert (hlo % (2 * P) == pid).all()
+    assert (hhi % (2 * P) == pid + P).all()
+    both = np.concatenate([lo, hi])
+    assert {tuple(r) for r in both} == {tuple(r) for r in mine}
+    st.delete()
+
+
+def test_spill_store_disk_budget(tmp_path):
+    st = SpillStore(str(tmp_path / "sp"), wk=2, max_disk_mb=1)
+    big = np.zeros((50000, 3), np.uint32)  # 600 KB per append
+    st.append(0, big)
+    with pytest.raises(SpillDiskOverflow):
+        st.append(1, big)
+    st.delete()
+
+
+def _spill_engine(n_chips, **kw):
+    import jax
+
+    from dsk_tpu.dist.engine import DistCountEngine, Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:n_chips]), ("chips",))
+    args = dict(
+        batch_rows=512, row_len=128, table_cap=1 << 14, buf_batches=8,
+        spill_partitions=8, spill_chunk_rows=1 << 14,
+    )
+    args.update(kw)
+    return DistCountEngine(K, mesh=mesh, **args)
+
+
+def _as_table(res):
+    return {
+        codec.words_to_value(r): int(c)
+        for r, c in zip(res.kmers, res.counts)
+    }
+
+
+@pytest.fixture(scope="module")
+def expect():
+    return oracle.count_bank(URI, K)
+
+
+def test_spill_single_chip_oracle(expect):
+    res = _spill_engine(1).count(URI)
+    assert res.info["spill"] is True
+    assert _as_table(res) == expect
+    assert int(res.histogram[1:].sum()) == len(expect)
+
+
+def test_spill_multi_chip_oracle(expect):
+    res = _spill_engine(4).count(URI)
+    assert _as_table(res) == expect
+
+
+def test_spill_overflow_splits_locally(expect):
+    """A partition whose distinct count exceeds the table splits in
+    place (modulus doubling) — the input is never re-read."""
+    res = _spill_engine(
+        1, table_cap=1 << 13, spill_partitions=4, spill_chunk_rows=1 << 13
+    ).count(URI)
+    assert res.info["spill_splits"] > 0
+    assert _as_table(res) == expect
+
+
+def test_spill_multipass(expect):
+    """Spill composes with multi-pass (pass filter upstream of the
+    partition hash; per-pass buckets are deleted at pass end)."""
+    res = _spill_engine(2, n_passes=2).count(URI, n_passes=2)
+    assert _as_table(res) == expect
+
+
+def test_spill_pass_sink_bounded(expect, tmp_path):
+    """The bounded-memory sink contract: every (partition, kmer, count)
+    lands through pass_sink; the result is slim (no materialized
+    table)."""
+    got = {}
+
+    def sink(pass_id, pid, kk, cc):
+        for row, c in zip(kk, cc):
+            v = codec.words_to_value(row)
+            assert v not in got  # partitions are disjoint
+            got[v] = int(c)
+
+    res = _spill_engine(1).count(URI, pass_sink=sink)
+    assert res.kmers.shape[0] == 0
+    assert got == expect
+    assert int(res.histogram[1:].sum()) == len(expect)
+
+
+def test_spill_rejects_per_bank():
+    with pytest.raises(ValueError, match="per-bank"):
+        _spill_engine(1, per_bank=True)
