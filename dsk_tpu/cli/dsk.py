@@ -98,6 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
     opt.add_argument("-wire", default=None, choices=["exc", "bitmap"],
                      help="H2D wire format (default auto: sparse exc, "
                           "bitmap on N-dense fallback / multi-process)")
+    opt.add_argument("-spill", default="auto",
+                     choices=["auto", "on", "off"],
+                     help="host partition spill (DSK's disk fill/count "
+                          "split): auto = planner decides from measured "
+                          "wire/re-read cost")
+    opt.add_argument("-spill-partitions", dest="spill_partitions",
+                     type=int, default=0,
+                     help="override the planner's spill partition count")
     return p
 
 
@@ -133,6 +141,8 @@ def main(argv: list[str] | None = None) -> int:
         flush_buckets=args.flush_buckets,
         wire=args.wire,
         trace_dir=args.trace_dir,
+        spill=args.spill,
+        spill_partitions=args.spill_partitions,
     )
     try:
         execute(params)

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from dsk_tpu.utils.hostmem import tune_malloc
+
+    tune_malloc()  # the chunked decode allocates ~100 MB temps
     try:
         store = OutputStore.load(args.file)
     except (OSError, KeyError) as e:
@@ -45,28 +48,54 @@ def main(argv: list[str] | None = None) -> int:
     try:
         def dump(f):
             if args.sorted_:
-                # streaming k-way merge over the partitions' sorted runs
-                # (bounded memory at any table size); legacy stores
-                # without a run map fall back to the host sort
-                try:
-                    items = store.iter_items_sorted()
-                except ValueError:
-                    items = iter(
-                        sorted(store.iter_items())
-                    )
+                # vectorized k-way merge over the partitions' sorted
+                # runs (bounded memory at any table size); legacy
+                # stores without a run map fall back to a materializing
+                # lexsort — still chunk-vectorized
                 k = store.kmer_size
-                n = 0
-                for v, a in items:
-                    f.write(f"{codec.kmer_to_string(v, k)} {a}\n")
-                    n += 1
-                return n
+                try:
+                    chunks = store.iter_sorted_rows()
+                    n = 0
+                    for kk, cc in chunks:
+                        f.write(
+                            store_text.format_count_lines(
+                                codec.words_to_letters(kk, k), cc
+                            )
+                        )
+                        n += kk.shape[0]
+                    return n
+                except ValueError:
+                    import numpy as np
+
+                    parts = list(store.iter_solid())
+                    kk = np.concatenate([p[0] for p in parts])
+                    cc = np.concatenate(
+                        [p[1].astype(np.int64) for p in parts]
+                    )
+                    w = kk.shape[1]
+                    order = np.lexsort(
+                        tuple(kk[:, i] for i in range(w - 1, -1, -1))
+                    )
+                    kk, cc = kk[order], cc[order]
+                    step = store_text.DUMP_CHUNK_ROWS
+                    for off in range(0, kk.shape[0], step):
+                        f.write(
+                            store_text.format_count_lines(
+                                codec.words_to_letters(
+                                    kk[off : off + step], k
+                                ),
+                                cc[off : off + step],
+                            )
+                        )
+                    return kk.shape[0]
             return store_text.dump_ascii(store, f, args.fasta, args.fastq)
 
         if args.out and not args.stdout:
-            with open(args.out, "w") as f:
+            with open(args.out, "wb") as f:
                 n = dump(f)
         else:
-            n = dump(sys.stdout)
+            n = dump(sys.stdout.buffer)
+            sys.stdout.buffer.flush()
         if args.verbose and args.out:
             print(f"dsk2ascii: wrote {n} kmers -> {args.out}", file=sys.stderr)
     finally:

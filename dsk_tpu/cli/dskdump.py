@@ -28,7 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-y", action="store_true", help="ignored (h5dump compat)")
     p.add_argument("file")
     args = p.parse_args(argv)
+    from dsk_tpu.utils.hostmem import tune_malloc
 
+    tune_malloc()  # the chunked decode allocates ~100 MB temps
     try:
         store = OutputStore.load(args.file)
     except (OSError, KeyError) as e:
@@ -41,17 +43,25 @@ def main(argv: list[str] | None = None) -> int:
             for a in range(1, hist.shape[0]):
                 sys.stdout.write(f"{a}\t{int(hist[a])}\n")
         elif ds.startswith("dsk/solid"):
+            from dsk_tpu.store import text as store_text
+
             k = store.kmer_size
             parts = list(store.iter_solid())
             sel = ds[len("dsk/solid"):].strip("/")
             if sel:
                 parts = [parts[int(sel)]]
+            step = store_text.DUMP_CHUNK_ROWS
             for kmers, counts in parts:
-                for row, a in zip(kmers, counts):
-                    v = codec.words_to_value(row)
-                    sys.stdout.write(
-                        f"{codec.kmer_to_string(v, k)} {int(a)}\n"
+                for off in range(0, kmers.shape[0], step):
+                    sys.stdout.buffer.write(
+                        store_text.format_count_lines(
+                            codec.words_to_letters(
+                                kmers[off : off + step], k
+                            ),
+                            counts[off : off + step],
+                        )
                     )
+            sys.stdout.buffer.flush()
         else:
             print(f"dskdump: unknown dataset {args.dataset}", file=sys.stderr)
             return 1

@@ -52,6 +52,8 @@ class ResourcePlan:
     est_bases: int
     est_distinct: int
     est_distinct_per_pass: int
+    spill: bool = False      # host-side partition spill (dist/spill.py)
+    n_partitions: int = 0    # spill hash partitions (spill mode only)
 
     def as_properties(self) -> dict:
         return {
@@ -61,6 +63,8 @@ class ResourcePlan:
             "buf_batches": self.buf_batches,
             "est_bases": self.est_bases,
             "est_distinct_kmers": self.est_distinct,
+            "spill": self.spill,
+            "nb_partitions": self.n_partitions,
         }
 
 
@@ -297,6 +301,53 @@ def _host_distinct_profile(
     return [ws[q] for q in keep], [ds[q] for q in keep]
 
 
+_WIRE_RATES: tuple[float, float] | None = None
+
+
+def _wire_rates() -> tuple[float, float]:
+    """Measured (D2H, H2D) MB/s to the default device, cached per
+    process.  The spill-vs-passes decision needs REAL transfer costs
+    (VERDICT r3 next-item 1): through the axon tunnel these measure
+    ~9/20 MB/s (spill rarely wins), on PCIe-attached metal GB/s (spill
+    usually wins).  DSK_TPU_SPILL_RATES="d2h_mbps,h2d_mbps" overrides
+    (pins experiments; avoids the probe on flaky tunnels)."""
+    global _WIRE_RATES
+    if _WIRE_RATES is not None:
+        return _WIRE_RATES
+    import os
+
+    env = os.environ.get("DSK_TPU_SPILL_RATES")
+    if env:
+        d2h, h2d = (float(x) for x in env.split(","))
+        _WIRE_RATES = (d2h, h2d)
+        return _WIRE_RATES
+    import time
+
+    import jax
+
+    dev = jax.devices()[0]
+    # incompressible payload: the tunnel compresses its stream, and an
+    # all-zeros probe once measured a fake 900 MB/s (PERF.md round 2)
+    buf = np.random.default_rng(0).integers(
+        0, 2**32, size=(1 << 18,), dtype=np.uint32
+    )  # 1 MB
+    x = jax.device_put(buf, dev)
+    _ = np.asarray(x)  # warmup: settles the reverse channel
+    t0 = time.perf_counter()
+    _ = np.asarray(x)
+    t_d2h = max(time.perf_counter() - t0, 1e-9)
+    # device_put is LAZY through the tunnel (CLAUDE.md): a full fetch is
+    # the only compile-free fence, so H2D = round trip minus D2H
+    t0 = time.perf_counter()
+    y = jax.device_put(buf, dev)
+    _ = np.asarray(y)
+    t_round = max(time.perf_counter() - t0, 1e-9)
+    d2h = 1.0 / t_d2h
+    h2d = 1.0 / max(t_round - t_d2h, t_d2h * 0.1)
+    _WIRE_RATES = (d2h, h2d)
+    return _WIRE_RATES
+
+
 def _round_capacity(x: int) -> int:
     """Round a slot count up to the {2^n, 3*2^(n-1)} grid (>= 2^16).
 
@@ -323,6 +374,8 @@ def plan_resources(
     batch_rows: int = 0,
     row_len: int = 0,
     sample: bool = True,
+    spill: str = "auto",
+    max_disk_mb: int = 0,
 ) -> ResourcePlan:
     """batch_rows/row_len == 0: auto-size the batch geometry.  Rows are
     read chunks, so row_len tracks the MEAN READ LENGTH (a fixed 256 for
@@ -361,6 +414,10 @@ def plan_resources(
         batch_rows = -(-batch_rows // 256) * 256  # Pallas sublane tiling
     est_windows = max(est_bases - int(est_bases / max(mean_len, k)) * (k - 1), 1)
 
+    import time as _time
+
+    t_sample0 = _time.perf_counter()
+    sample_bases = 0
     if sample and est_bases > (1 << 22):
         # the marginal new-kmer rate only drops once the sample spans a few
         # coverage multiples of the underlying genome — sample ~1/8th of
@@ -411,6 +468,69 @@ def plan_resources(
             (TARGET_FLUSH_ROWS - table_cap) // windows_per_batch, 8, 64
         )
     )
+
+    # -- spill vs passes (VERDICT r3 next-item 1) -------------------------
+    # The reference bounds memory by spilling routed kmers to disk and
+    # bounds disk by passes: n_iters = ceil(v*b/D) (doc/paper.tex:66).
+    # Here HBM tables are FASTER when the distinct volume fits (no
+    # D2H/H2D round trip), so spill engages only when it saves re-streams
+    # AND the measured wire cost of the spilled bytes is below the cost
+    # of the extra passes it avoids.  spill="on"/"off" pins the mode.
+    use_spill = False
+    n_partitions = 0
+    if spill == "on" or (spill == "auto" and n_passes > 1):
+        rec_bytes = (W + 1) * 4
+        if max_disk_mb > 0:
+            disk_bytes = max_disk_mb << 20
+        else:
+            from dsk_tpu.utils import sysinfo
+
+            disk_bytes = sysinfo.auto_limits()["max_disk_mb"] << 20
+        # per-pass spill is bounded by the pre-dedup window volume (the
+        # group dedup only shrinks it), so DSK's own pass rule applies
+        spill_bytes = est_windows * rec_bytes
+        n_passes_spill = max(1, -(-spill_bytes // max(disk_bytes, 1)))
+        spill_cap = min(budget_slots, MAX_TABLE_SLOTS)
+        spill_cap = _round_capacity(spill_cap // 2 + 1)
+        per_pass_spill = -(-est_distinct // n_passes_spill)
+        n_partitions = int(
+            np.clip(
+                -(-per_pass_spill // int(spill_cap * TABLE_FILL_TARGET)),
+                max(n_chips, 1),
+                8192,
+            )
+        )
+        if spill == "on":
+            use_spill = True
+        elif n_passes_spill < n_passes:
+            # measured-cost comparison: a pass costs one re-stream of the
+            # input (rate measured from this plan's own sampling sweep —
+            # parse+hash, conservative); spill costs the record bytes
+            # over the measured D2H + H2D wire once
+            t_sample = max(_time.perf_counter() - t_sample0, 1e-9)
+            restream = (
+                sample_bases / t_sample if sample_bases else 20e6
+            )  # bases/s
+            d2h_mbps, h2d_mbps = _wire_rates()
+            wire_s = (spill_bytes / (1 << 20)) * (
+                1.0 / d2h_mbps + 1.0 / h2d_mbps
+            )
+            cost_hbm = n_passes * (est_bases / restream)
+            cost_spill = n_passes_spill * (est_bases / restream) + wire_s
+            use_spill = cost_spill < cost_hbm
+        if use_spill:
+            n_passes = n_passes_spill
+            table_cap = spill_cap
+            per_pass = per_pass_spill
+            buf_batches = int(
+                np.clip(
+                    (TARGET_FLUSH_ROWS - table_cap) // windows_per_batch,
+                    8, 64,
+                )
+            )
+        else:
+            n_partitions = 0
+
     return ResourcePlan(
         n_passes=n_passes,
         table_cap=table_cap,
@@ -421,4 +541,6 @@ def plan_resources(
         est_bases=est_bases,
         est_distinct=est_distinct,
         est_distinct_per_pass=per_pass,
+        spill=use_spill,
+        n_partitions=n_partitions,
     )

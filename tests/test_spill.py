@@ -17,6 +17,7 @@ from dsk_tpu.dist.spill import (
     SpillStore,
     kmer_hash_planes_np,
 )
+from dsk_tpu.engine.run import RunParams, execute
 from dsk_tpu.kmer import codec
 
 URI = os.path.join(os.path.dirname(__file__), "data", "read50x_ref10K_e001.fasta.gz")
@@ -177,3 +178,105 @@ def test_spill_pass_sink_bounded(expect, tmp_path):
 def test_spill_rejects_per_bank():
     with pytest.raises(ValueError, match="per-bank"):
         _spill_engine(1, per_bank=True)
+
+
+# -- planner decision + execute() wiring ---------------------------------
+
+
+def _plan(f, rates, monkeypatch, spill="auto", mem=1):
+    from dsk_tpu.engine import planner
+
+    monkeypatch.setattr(planner, "_WIRE_RATES", None)
+    monkeypatch.setenv("DSK_TPU_SPILL_RATES", rates)
+    return planner.plan_resources(
+        f, K, max_memory_mb=mem, n_chips=1, sample=False, spill=spill
+    )
+
+
+def test_planner_spill_decision_follows_measured_rates(
+    data_dir, monkeypatch
+):
+    """Fast wire (PCIe metal) -> spill replaces the pass ladder; slow
+    wire (the axon tunnel) -> passes stay cheaper.  The decision is the
+    measured-cost inequality of VERDICT r3 next-item 1."""
+    f = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    fast = _plan(f, "100000,100000", monkeypatch)
+    assert fast.spill and fast.n_partitions >= 1
+    assert fast.n_passes == 1  # disk is plentiful: one stream suffices
+    slow = _plan(f, "0.001,0.001", monkeypatch)
+    assert not slow.spill
+    assert slow.n_passes > 1  # HBM-bound ladder retained
+    off = _plan(f, "100000,100000", monkeypatch, spill="off")
+    assert not off.spill
+    on = _plan(f, "0.001,0.001", monkeypatch, spill="on")
+    assert on.spill  # pinned on wins regardless of rates
+
+
+def test_execute_spill_matches_default(data_dir, tmp_path):
+    """-spill on produces a byte-identical histogram and the same solid
+    set as the default table engine, through the full CLI-level path
+    (planner, store, sink)."""
+    from dsk_tpu.store.hdf5 import OutputStore
+
+    f = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+
+    def run(tag, **kw):
+        params = RunParams(
+            file=f, kmer_size=K, abundance_min=1,
+            out=str(tmp_path / tag), histo=True, engine="dist",
+            batch_rows=256, row_len=128, verbose=0, checkpoint=False,
+            **kw,
+        )
+        out = execute(params)
+        with OutputStore.load(out.h5_path) as st:
+            items = sorted(st.iter_items())
+        return out, items
+
+    out_s, items_s = run("spill", spill="on", spill_partitions=4)
+    out_d, items_d = run("plain", spill="off")
+    assert items_s == items_d
+    assert (
+        open(tmp_path / "spill.histo").read()
+        == open(tmp_path / "plain.histo").read()
+    )
+    assert out_s.result.info.get("spill") is True
+
+
+def test_execute_spill_disk_valve(data_dir, tmp_path, monkeypatch):
+    """A spill store that exceeds -max-disk raises the typed
+    SpillDiskOverflow and the execute() valve doubles the passes —
+    the reference's n_iters = ceil(v*b/D) rule (doc/paper.tex:66)."""
+    from dsk_tpu.engine import run as run_mod
+    from dsk_tpu.engine.planner import ResourcePlan
+
+    f = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    # the fixture spills ~1.26 MB of records in one pass; a 1 MB budget
+    # must overflow, and 2+ passes must fit
+    tiny = ResourcePlan(
+        n_passes=1, table_cap=1 << 15, flush_items=1 << 18,
+        buf_batches=8, batch_rows=256, row_len=128,
+        est_bases=500_000, est_distinct=1 << 15,
+        est_distinct_per_pass=1 << 15, spill=True, n_partitions=4,
+    )
+    monkeypatch.setattr(run_mod, "plan_resources", lambda *a, **kw: tiny)
+    params = RunParams(
+        file=f, kmer_size=K, abundance_min=1,
+        out=str(tmp_path / "v"), histo=True, engine="dist",
+        batch_rows=256, row_len=128, verbose=0, checkpoint=False,
+        max_disk=1, spill="on",
+    )
+    out = execute(params)
+    assert out.result.info.get("n_passes", 1) >= 2  # the valve fired
+    got = {
+        i: int(c)
+        for i, c in enumerate(out.result.histogram)
+        if c and i > 0
+    }
+    from tests.conftest import load_histo_fixture
+
+    want = {
+        a: c
+        for a, c in load_histo_fixture(data_dir / "k27.histo").items()
+        if c
+    }
+    assert got == want

@@ -235,12 +235,12 @@ def test_dsk2ascii_fasta_fastq_modes(data_dir, tmp_path):
     import io as _io
 
     with OutputStore.load(str(tmp_path / "s.h5")) as store:
-        buf = _io.StringIO()
+        buf = _io.BytesIO()
         store_text.dump_ascii(store, buf, fasta=True)
-        assert buf.getvalue() == ">0__1\nACTGTACGTATAAGA\n"
-        buf = _io.StringIO()
+        assert buf.getvalue() == b">0__1\nACTGTACGTATAAGA\n"
+        buf = _io.BytesIO()
         store_text.dump_ascii(store, buf, fastq=True)
-        lines = buf.getvalue().splitlines()
+        lines = buf.getvalue().decode().splitlines()
         assert lines[0].startswith("@") and lines[1] == "ACTGTACGTATAAGA"
         assert lines[2] == "+" and len(lines[3]) == 15
 
@@ -308,9 +308,9 @@ def test_solid_kmers_out_and_out_compress(data_dir, tmp_path):
         import io as _io
 
         with OutputStore.load(h5_path) as store:
-            buf = _io.StringIO()
+            buf = _io.BytesIO()
             store_text.dump_ascii(store, buf, False, False)
-            return sorted(buf.getvalue().splitlines())
+            return sorted(buf.getvalue().decode().splitlines())
 
     plain = RunParams(
         file=str(data_dir / "longread.fasta"), kmer_size=27,
