@@ -249,3 +249,58 @@ def test_truncate_keeps_run_map_at_pass_boundary(tmp_path):
     store.truncate_partitions({0: 12})
     assert "run_sizes" not in store._f["dsk/solid/0"].attrs
     store.close()
+
+
+def test_per_bank_pass_sink_bounded_and_grouped(data_dir):
+    """Per-bank streaming (VERDICT r3 weak #5): the sink receives each
+    chip's GROUPED (kmer, total, bank matrix) rows, bounded by one
+    chip's table, and the union reproduces the per-bank oracle."""
+    files = ",".join(
+        str(data_dir / f"c{i}.fasta.gz") for i in (1, 2, 3, 4)
+    )
+    cap = 1 << 14
+    eng = DistCountEngine(
+        27, batch_rows=512, row_len=128, table_cap=cap, per_bank=True,
+    )
+    got = {}
+
+    def sink(pass_id, pid, kk, cc, bmat):
+        assert kk.shape[0] <= cap
+        assert bmat.shape == (kk.shape[0], 4)
+        np.testing.assert_array_equal(bmat.sum(axis=1), cc)
+        for row, vec in zip(kk, bmat):
+            v = codec.words_to_value(row)
+            assert v not in got  # chips disjoint in kmer space
+            got[v] = tuple(int(x) for x in vec)
+
+    res = eng.count(files, per_bank=True, pass_sink_per_bank=sink)
+    assert res.kmers.size == 0  # slim: nothing materialized
+    expect = {
+        v: tuple(int(x) for x in vec)
+        for v, vec in oracle.count_bank_per_bank(files, 27).items()
+    }
+    assert got == expect
+    assert int(res.histogram[1:].sum()) == len(expect)
+
+
+def test_execute_per_bank_solidity_streams(data_dir, tmp_path):
+    """-solidity-kind min over multiple banks runs through the
+    streaming store path on the dist engine and matches the oracle's
+    per-bank minima."""
+    files = ",".join(
+        str(data_dir / f"c{i}.fasta.gz") for i in (1, 2)
+    )
+    params = RunParams(
+        file=files, kmer_size=27, abundance_min=1,
+        solidity_kind="min", out=str(tmp_path / "mn"), verbose=0,
+        batch_rows=512, row_len=128, engine="dist",
+    )
+    execute(params)
+    got = store_as_dict(str(tmp_path / "mn.h5"))
+    pb = oracle.count_bank_per_bank(files, 27)
+    want = {
+        v: int(vec.sum())
+        for v, vec in pb.items()
+        if int(vec.min()) >= 1  # min-solidity at abundance-min 1
+    }
+    assert got == want
