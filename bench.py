@@ -56,6 +56,44 @@ def make_batches(n_batches: int, rows: int, row_len: int, seed: int = 0):
     return out
 
 
+def make_error_batches(
+    n_batches: int, rows: int, row_len: int, err: float, seed: int = 0
+):
+    """Error-rich reads: genome sampling + per-base random substitutions.
+
+    The headline stream's distinct/window ratio is ~0.8% (clean reads of
+    a 1 Mbase genome); real error-rich Illumina runs >= 3% (reference
+    human: 4.8B distinct / ~146 Gbases, doc/human_log:18-23 — VERDICT r3
+    weak #3).  A substitution at rate e mints ~e*k novel kmers per base,
+    so e ~ 0.11% at k=31 pushes the ratio past 4% — the flush-output-
+    pressure regime where the table holds mostly singletons."""
+    from dsk_tpu.io.batch import Batch
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=GENOME_SIZE, dtype=np.uint8)
+    out = []
+    for _ in range(n_batches):
+        starts = rng.integers(0, GENOME_SIZE - row_len, size=rows)
+        codes = genome[starts[:, None] + np.arange(row_len)[None, :]]
+        hit = rng.random(codes.shape) < err
+        # substitution = +1..3 mod 4: never the original base
+        codes = np.where(
+            hit,
+            (codes + rng.integers(1, 4, codes.shape, dtype=np.uint8)) % 4,
+            codes,
+        ).astype(np.uint8)
+        out.append(
+            Batch(
+                codes=codes,
+                bank_ids=np.zeros(rows, np.int32),
+                n_rows=rows,
+                n_bases=int(codes.size),
+                n_reads=rows,
+            )
+        )
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -256,6 +294,44 @@ def main() -> None:
     # both passes over the same bases = one logical multipass count
     mp_device_bases_per_s = mp_bases / t_mp
 
+    # --- adversarial high-distinct shape (VERDICT r3 next-item 3): one
+    # G32 group of 0.11%-error reads => ~4% distinct/window (the
+    # reference human run's regime, doc/human_log:18-23) vs the headline
+    # stream's 0.8%.  Table is singleton-dominated, flush output
+    # pressure is worst-case; fenced ceiling + distinct rate recorded.
+    adv_batches = make_error_batches(32, rows, row_len, err=0.0011, seed=3)
+    engine_adv = DistCountEngine(
+        k,
+        mesh=default_mesh(),
+        batch_rows=rows,
+        row_len=row_len,
+        buf_batches=32,
+        table_cap=4 << 20,
+    )
+    engine_adv.compile(
+        progress=lambda m: print(f"[bench adv] {m}", file=sys.stderr)
+    )
+    wsa, msa = zip(*(pack_codes_exc(b.codes) for b in adv_batches))
+    cda = jax.device_put(np.stack(wsa), d0)
+    mda = jax.device_put(np.stack(msa), d0)
+    bda = jax.device_put(
+        np.stack([b.bank_ids for b in adv_batches]), d0
+    )
+    fence(cda)
+    adv_bases = sum(b.n_bases for b in adv_batches)
+    t_adv = fenced_ceiling(engine_adv, cda, mda, bda)
+    # distinct count + windows of the adversarial shape (one extra run
+    # into fresh tables, histogram on device)
+    tab_p_a, tab_c_a, over_a, tover_a = engine_adv._init_state()
+    tab_p_a, tab_c_a, over_a, tover_a = engine_adv._step(
+        cda, mda, bda, tab_p_a, tab_c_a, over_a, tover_a, jnp.int32(0)
+    )
+    engine_adv._check_overflow(over_a, tover_a)
+    adv_hist = np.asarray(engine_adv._hist(tab_c_a), dtype=np.int64)
+    adv_distinct = int(adv_hist[1:].sum())
+    adv_windows = 32 * rows * (row_len - k + 1)
+    adv_device_bases_per_s = adv_bases / t_adv
+
     bases_per_s = total_bases / elapsed
     result = {
         "metric": "count_bases_per_s_per_chip_k31",
@@ -286,6 +362,23 @@ def main() -> None:
             # two-stage compaction slack valve live, ~0.9 table fill)
             "multipass2_device_bases_per_s": round(
                 mp_device_bases_per_s, 1
+            ),
+            # adversarial error-rich shape (>= 3% distinct/window — the
+            # reference human-run regime, doc/human_log:18-23).  The
+            # distinct rate is judged against the reference's derived
+            # ~42K solid kmers/s emission (BASELINE.md): target >= 10x.
+            "adversarial_device_bases_per_s": round(
+                adv_device_bases_per_s, 1
+            ),
+            "adversarial_distinct": adv_distinct,
+            "adversarial_distinct_ratio": round(
+                adv_distinct / adv_windows, 4
+            ),
+            "adversarial_distinct_kmers_per_s": round(
+                adv_distinct / t_adv, 1
+            ),
+            "adversarial_distinct_rate_vs_ref42k": round(
+                adv_distinct / t_adv / 42e3, 1
             ),
             "end_to_end_bases_per_s": round(
                 total_bases / (elapsed + gather_s), 1

@@ -1516,6 +1516,7 @@ class DistCountEngine:
         feed = self._feed_groups(batches, sub, wire_bytes)
         writer = ThreadPoolExecutor(1)
         pending: deque = deque()
+        dbg = _spill_debug
         try:
             for item in feed:
                 words_dev, bitmap_dev, bids_dev, bb, rr = item
@@ -1527,6 +1528,7 @@ class DistCountEngine:
                         jnp.int32(pass_id),
                     )
                 )
+                dbg(f"group {n_groups}: step dispatched")
                 pending.append(
                     writer.submit(
                         self._drain_spill_group,
@@ -1566,10 +1568,15 @@ class DistCountEngine:
         """Download one group's live records (parallel D2H chunk
         streams, live prefix only) and append them to the host buckets
         by the device-computed partition boundaries."""
+        import time as _time
+
+        dbg = _spill_debug
         plan, WK = self.plan, self.WK
         n, P_ = plan.n, self.spill_partitions
         Nbuf = planes_dev.shape[1] // n
+        t0 = _time.perf_counter()
         bounds = np.asarray(bounds_dev)  # (n, P_+1)
+        dbg(f"drain: bounds in {_time.perf_counter() - t0:.1f}s")
         live = bounds[:, P_]
         m = int(live.max()) if live.size else 0
         if m == 0:
@@ -1579,15 +1586,22 @@ class DistCountEngine:
         # must stay O(log) — each shape is a remote compile on axon
         m = max(m, _LIVE_PAD)
         m = min(1 << (m - 1).bit_length(), Nbuf)
+        t0 = _time.perf_counter()
         prep = _prefix_chunker(
             WK, n, 1, Nbuf, m, _D2H_STREAMS,
             aot=(n == 1 and not self.multi_process),
         )
         chunks = prep(planes_dev, counts_dev)
+        dbg(f"drain: chunker(m={m}) ready in "
+            f"{_time.perf_counter() - t0:.1f}s")
         from concurrent.futures import ThreadPoolExecutor
 
+        t0 = _time.perf_counter()
         with ThreadPoolExecutor(_D2H_STREAMS) as ex:
             host = list(ex.map(np.asarray, chunks))
+        mb = sum(h.nbytes for h in host) / (1 << 20)
+        dt = max(_time.perf_counter() - t0, 1e-9)
+        dbg(f"drain: fetched {mb:.0f} MB in {dt:.1f}s ({mb/dt:.1f} MB/s)")
         T = _D2H_STREAMS
         tp = np.concatenate(host[:T]).reshape(WK, n, m)
         tc = np.concatenate(host[T:]).reshape(n, m)
@@ -2355,6 +2369,19 @@ class DistCountEngine:
             np.concatenate(parts_c, axis=0),
             np.concatenate(parts_b, axis=0),
             sizes,
+        )
+
+
+def _spill_debug(msg: str) -> None:
+    """stderr spill diagnostics, gated by DSK_TPU_SPILL_DEBUG=1."""
+    import os
+    import sys
+    import time
+
+    if os.environ.get("DSK_TPU_SPILL_DEBUG"):
+        print(
+            f"[spill {time.strftime('%H:%M:%S')}] {msg}",
+            file=sys.stderr, flush=True,
         )
 
 

@@ -79,6 +79,52 @@ def plot_histo2d(path: str, xmax: int | None = None, out: str | None = None) -> 
     return out
 
 
+def plot_sweep(rows: list[dict], out: str) -> str:
+    """figure-1 analog plot (doc/figure-1's runtime-vs-resources
+    curves): wallclock vs -max-memory, one line per (spill, passes)
+    series; crashed cells marked x at the top."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    series: dict[tuple, list] = {}
+    crashed = []
+    for r in rows:
+        key = (r.get("spill", "auto"), r.get("n_passes"))
+        if r.get("status") == "ok":
+            series.setdefault(key, []).append(
+                (r["mem_mb"], r["wall_s"], r.get("peak_rss_mb", 0))
+            )
+        else:
+            crashed.append((r["mem_mb"], r.get("status", "crashed")))
+    for (sp, np_), pts in sorted(series.items()):
+        pts.sort()
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        ax.plot(
+            xs, ys, marker="o",
+            label=f"spill={sp}"
+            + (f", passes={np_}" if np_ is not None else ""),
+        )
+    top = max(
+        (p[1] for pts in series.values() for p in pts), default=1.0
+    )
+    for mem, _status in crashed:
+        ax.plot([mem], [top * 1.1], marker="x", color="red", ms=10)
+    ax.set_xscale("log")
+    ax.set_xlabel("-max-memory (MB)")
+    ax.set_ylabel("wallclock (s)")
+    ax.set_title("resource sweep (figure-1 analog)")
+    ax.grid(True, ls="-", lw=0.3)
+    if series:
+        ax.legend(fontsize=8)
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     args = argv if argv is not None else sys.argv[1:]
     if not args:
