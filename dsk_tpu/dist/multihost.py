@@ -147,11 +147,20 @@ def lockstep_batches(batches, make_empty, group: int = 8):
     if jax.process_count() <= 1:
         yield from batches
         return
+    import os
+
     from jax._src import distributed as _dist
 
     client = _dist.global_state.client
     pid = jax.process_index()
     nproc = jax.process_count()
+    # barrier timeout: how long a survivor waits before concluding a
+    # peer died mid-stream (failure detection — the run must ERROR, not
+    # hang; tests/test_multihost.py injects a real process kill).  The
+    # coordination service's own heartbeat usually fails faster.
+    timeout_ms = int(
+        os.environ.get("DSK_TPU_LOCKSTEP_TIMEOUT_MS", "600000")
+    )
     _LOCKSTEP_EPOCH[0] += 1
     epoch = _LOCKSTEP_EPOCH[0]
     use_barrier = hasattr(client, "wait_at_barrier") and hasattr(
@@ -169,7 +178,7 @@ def lockstep_batches(batches, make_empty, group: int = 8):
                     f"dsk_tpu_ls/{epoch}/done/{pid}", str(rnd)
                 )
                 announced = True
-            client.wait_at_barrier(f"dsk_tpu_ls_{epoch}_{rnd}", 600_000)
+            client.wait_at_barrier(f"dsk_tpu_ls_{epoch}_{rnd}", timeout_ms)
             done = client.key_value_dir_get(f"dsk_tpu_ls/{epoch}/done/")
             n_done = sum(1 for _k, v in done if int(v) <= rnd)
             if n_done >= nproc:
@@ -182,7 +191,7 @@ def lockstep_batches(batches, make_empty, group: int = 8):
             any_more = False
             for p in range(nproc):
                 v = client.blocking_key_value_get(
-                    f"dsk_tpu_ls/{epoch}/{rnd}/{p}", 600_000
+                    f"dsk_tpu_ls/{epoch}/{rnd}/{p}", timeout_ms
                 )
                 any_more = any_more or v == "1"
             if not any_more:

@@ -47,6 +47,12 @@ def main() -> int:
     ap.add_argument("-row-len", dest="row_len", type=int, default=256)
     ap.add_argument("-table-cap", dest="table_cap", type=int, default=1 << 18)
     ap.add_argument("-nb-cores", dest="nb_cores", type=int, default=1)
+    ap.add_argument("-selfdestruct-after-groups",
+                    dest="selfdestruct", type=int, default=0,
+                    help="FAILURE INJECTION (tests): hard-kill this "
+                         "process after N dispatched flush groups — "
+                         "survivors must error out within the lockstep "
+                         "barrier timeout, never hang")
     args = ap.parse_args()
 
     from dsk_tpu.dist import multihost
@@ -82,6 +88,19 @@ def main() -> int:
         row_len=args.row_len,
         table_cap=args.table_cap,
     )
+    if args.selfdestruct > 0:
+        real_step = engine._step
+        calls = [0]
+
+        def dying_step(*a):
+            calls[0] += 1
+            if calls[0] > args.selfdestruct:
+                print(f"[mh {pid}] SELF-DESTRUCT after {args.selfdestruct} "
+                      f"groups", file=sys.stderr, flush=True)
+                os._exit(13)
+            return real_step(*a)
+
+        engine._step = dying_step
     res = engine.count(shard, n_workers=args.nb_cores)
 
     # every host persists its partitions; process 0 merges after a barrier

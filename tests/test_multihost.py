@@ -102,3 +102,88 @@ def test_two_process_single_file(plain_fixture, tmp_path, data_dir):
             total += 1
     assert total == len(oracle)
     assert seen == {v: c for v, c in oracle.items()}
+
+
+def _launch(pid, port, nproc, out, plain_fixture, extra=(), env_extra=()):
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO,
+    )
+    env.update(dict(env_extra))
+    return subprocess.Popen(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "multihost_count.py"),
+            "-coordinator", f"localhost:{port}",
+            "-num-processes", str(nproc),
+            "-process-id", str(pid),
+            "-file", plain_fixture,
+            "-kmer-size", "27",
+            "-abundance-min", "1",
+            "-out", out,
+            "-batch-rows", "256",
+            "-row-len", "128",
+            "-table-cap", str(1 << 16),
+            *extra,
+        ],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        cwd=REPO,
+    )
+
+
+@pytest.mark.slow
+def test_four_process_skewed_shards(plain_fixture, tmp_path, data_dir):
+    """4 processes x 2 virtual chips = an 8-chip mesh spanning four
+    processes (VERDICT r3 next-item 7b).  Byte-range resync makes the
+    shards uneven, so processes exhaust at different rounds and the
+    lockstep padding path is genuinely exercised; the global histogram
+    must still be byte-exact."""
+    port = _free_port()
+    out = str(tmp_path / "mh4")
+    procs = [
+        _launch(pid, port, 4, out, plain_fixture) for pid in range(4)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+    got = {}
+    with open(out + ".histo") as f:
+        for line in f:
+            a, c = line.split()
+            got[int(a)] = int(c)
+    assert got == load_histo_fixture(data_dir / "k27.histo")
+
+
+@pytest.mark.slow
+def test_peer_death_errors_out_not_hang(plain_fixture, tmp_path):
+    """Failure injection (VERDICT r3 next-item 7a): process 1 hard-kills
+    itself after 2 flush groups; process 0 must TERMINATE (nonzero exit
+    or coordination-service error) within the barrier timeout instead of
+    hanging in the lockstep."""
+    port = _free_port()
+    out = str(tmp_path / "mhfail")
+    env_extra = (("DSK_TPU_LOCKSTEP_TIMEOUT_MS", "20000"),)
+    p0 = _launch(0, port, 2, out, plain_fixture, env_extra=env_extra)
+    p1 = _launch(
+        1, port, 2, out, plain_fixture,
+        extra=("-selfdestruct-after-groups", "2"),
+        env_extra=env_extra,
+    )
+    try:
+        so1, se1 = p1.communicate(timeout=300)
+        assert p1.returncode == 13, se1.decode()[-2000:]
+        # the survivor must die on its own well before the test timeout:
+        # barrier timeout (20 s) + slack for heartbeat detection
+        so0, se0 = p0.communicate(timeout=180)
+    finally:
+        for p in (p0, p1):
+            if p.poll() is None:
+                p.kill()
+    assert p0.returncode != 0, (
+        "survivor exited 0 despite a dead peer: "
+        + se0.decode()[-2000:]
+    )
