@@ -46,6 +46,32 @@ except ImportError:  # pragma: no cover
 from dsk_tpu.kmer import codec
 
 
+def _ascending_runs(kk: np.ndarray, w: int) -> list[int]:
+    """Lengths of maximal ascending runs of (n, w) big-endian word rows
+    (split at every lexicographic descent, vectorized).  Bucketized
+    tables (flush_buckets > 1) are bucket-major — ascending within each
+    hash bucket only — so an append can hold several runs; the sorted-
+    merge dump (iter_sorted_rows) depends on every recorded run being
+    truly ascending."""
+    n = int(kk.shape[0])
+    if n <= 1:
+        return [n] if n else []
+    gt = np.zeros(n - 1, bool)
+    eq = np.ones(n - 1, bool)
+    for wcol in range(w):
+        a, b = kk[:-1, wcol], kk[1:, wcol]
+        gt |= eq & (a > b)
+        eq &= a == b
+    cuts = np.flatnonzero(gt) + 1
+    out = []
+    prev = 0
+    for c in [*cuts.tolist(), n]:
+        if c > prev:
+            out.append(c - prev)
+            prev = c
+    return out
+
+
 def _count_dtype(w: int) -> np.dtype:
     return np.dtype([("value", "<u4", (w,)), ("abundance", "<i4")])
 
@@ -111,9 +137,10 @@ class OutputStore:
         rec["abundance"] = np.asarray(counts, dtype=np.int32)
         kw = {"compression": "gzip"} if getattr(self, "_compress", False) and rec.shape[0] else {}
         ds = self._f["dsk/solid"].create_dataset(str(idx), data=rec, **kw)
-        # a gathered chip table is one ascending-sorted run (see
-        # append_solid_partition for why runs are recorded)
-        ds.attrs["run_sizes"] = np.asarray([rec.shape[0]], np.int64)
+        # run map for the sorted-merge dump (see append_solid_partition)
+        ds.attrs["run_sizes"] = np.asarray(
+            _ascending_runs(rec["value"], w), np.int64
+        )
 
     def append_solid_partition(
         self, idx: int, kmers: np.ndarray, counts: np.ndarray
@@ -151,14 +178,19 @@ class OutputStore:
         ds.resize((off + n,))
         if n:
             ds[off:] = rec
-            # record the run boundary: each append is one ascending-
-            # sorted run (a chip table is sorted by construction), so
-            # `dsk2ascii -sorted` can stream a k-way merge over
-            # (partition, run) pairs instead of materializing + sorting
-            # the whole table on the host (bounded-memory dump at
-            # reference-flagship scale, doc/paper.tex:106-115)
+            # record run boundaries so `dsk2ascii -sorted` can stream a
+            # k-way merge over (partition, run) pairs instead of
+            # materializing + sorting the whole table on the host
+            # (bounded-memory dump at reference-flagship scale,
+            # doc/paper.tex:106-115).  An append is usually ONE
+            # ascending run (a chip table is sorted by construction),
+            # but bucketized tables (flush_buckets > 1) arrive
+            # BUCKET-MAJOR — ascending within each hash bucket only —
+            # so runs are split at every lexicographic DESCENT
+            # (vectorized scan; recording them as one run would make
+            # the sorted merge emit out of order)
             runs = list(ds.attrs.get("run_sizes", []))
-            runs.append(n)
+            runs.extend(_ascending_runs(rec["value"], w))
             ds.attrs["run_sizes"] = np.asarray(runs, np.int64)
 
     def partition_sizes(self) -> dict[int, int]:

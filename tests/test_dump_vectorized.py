@@ -107,3 +107,44 @@ def test_iter_sorted_rows_matches_heapq_merge(data_dir, tmp_path):
         assert got == want
         vals = [v for v, _ in got]
         assert vals == sorted(vals)
+
+
+def test_sorted_dump_with_bucketized_tables(data_dir, tmp_path):
+    """flush_buckets > 1 gathers BUCKET-MAJOR tables (ascending only
+    within each hash bucket); the store's run map must split appends at
+    descents or the sorted merge emits out of order (latent round-3
+    bug, fixed with _ascending_runs)."""
+    from dsk_tpu.engine.run import RunParams, execute
+    from dsk_tpu.store.hdf5 import OutputStore, _ascending_runs
+
+    params = RunParams(
+        file=str(data_dir / "read50x_ref10K_e001.fasta.gz"),
+        kmer_size=27, abundance_min=1, out=str(tmp_path / "b"),
+        verbose=0, batch_rows=256, row_len=128, engine="dist",
+        flush_buckets=8,
+    )
+    execute(params)
+    with OutputStore.load(str(tmp_path / "b.h5")) as store:
+        # run maps hold >1 run per partition (bucket-major appends)
+        solid = store._f["dsk/solid"]
+        n_runs = sum(
+            len(solid[p].attrs["run_sizes"]) for p in solid
+        )
+        assert n_runs > store.nb_partitions
+        vals = []
+        for kk, cc in store.iter_sorted_rows(pool_rows=1 << 12):
+            for row in kk:
+                vals.append(codec.words_to_value(row))
+    assert vals == sorted(vals)
+    assert len(vals) == 93948
+
+
+def test_ascending_runs_unit():
+    from dsk_tpu.store.hdf5 import _ascending_runs
+
+    kk = np.array(
+        [[0, 5], [0, 9], [1, 2], [0, 0], [2, 2], [1, 1]], np.uint32
+    )
+    assert _ascending_runs(kk, 2) == [3, 2, 1]
+    assert _ascending_runs(kk[:1], 2) == [1]
+    assert _ascending_runs(kk[:0], 2) == []
