@@ -1647,23 +1647,41 @@ class DistCountEngine:
         splits = 0
         # (store partition id, hash modulus, residue)
         work = [(pid, P_, pid) for pid in spill.partitions()]
-        while work:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def make_chunk(batch, ci):
+            """Assemble + transfer one merge chunk (runs one ahead on
+            the putter thread so host read/assembly and the H2D wire
+            overlap the previous chunk's device merge; the 1-element
+            fetch is the eager-wire fence — device_put is lazy through
+            the tunnel, see _feed_groups)."""
+            rec_p = np.full((WK, n * Rc), SENTINEL, np.uint32)
+            rec_c = np.zeros((n * Rc,), np.int32)
+            for j, e in enumerate(batch):
+                chunk = spill.read_chunk(e[0], ci * Rc, Rc)
+                r = chunk.shape[0]
+                if r:
+                    rec_p[:, j * Rc : j * Rc + r] = chunk[:, :WK].T
+                    rec_c[j * Rc : j * Rc + r] = chunk[:, WK].view(
+                        np.int32
+                    )
+            rp_dev = jax.device_put(rec_p, device0 if single else sh_p)
+            rc_dev = jax.device_put(rec_c, device0 if single else sh_b)
+            _ = np.asarray(rp_dev[0, 0])
+            return rp_dev, rc_dev
+
+        putter = ThreadPoolExecutor(1)
+        try:
+          while work:
             batch, work = work[:n], work[n:]
             tab_p, tab_c, _over, tover = self._init_state()
             max_rows = max(spill.rows(e[0]) for e in batch)
-            for ci in range(max(-(-max_rows // Rc), 1)):
-                rec_p = np.full((WK, n * Rc), SENTINEL, np.uint32)
-                rec_c = np.zeros((n * Rc,), np.int32)
-                for j, e in enumerate(batch):
-                    chunk = spill.read_chunk(e[0], ci * Rc, Rc)
-                    r = chunk.shape[0]
-                    if r:
-                        rec_p[:, j * Rc : j * Rc + r] = chunk[:, :WK].T
-                        rec_c[j * Rc : j * Rc + r] = chunk[:, WK].view(
-                            np.int32
-                        )
-                rp_dev = jax.device_put(rec_p, device0 if single else sh_p)
-                rc_dev = jax.device_put(rec_c, device0 if single else sh_b)
+            n_chunks = max(-(-max_rows // Rc), 1)
+            fut = putter.submit(make_chunk, batch, 0)
+            for ci in range(n_chunks):
+                rp_dev, rc_dev = fut.result()
+                if ci + 1 < n_chunks:
+                    fut = putter.submit(make_chunk, batch, ci + 1)
                 tab_p, tab_c, tover = self._spill_merge(
                     rp_dev, rc_dev, tab_p, tab_c, tover
                 )
@@ -1702,6 +1720,8 @@ class DistCountEngine:
                 else:
                     out_k.append(kk)
                     out_c.append(cc)
+        finally:
+            putter.shutdown(wait=True, cancel_futures=True)
         info = dict(stats)
         info.update(
             {
