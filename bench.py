@@ -95,6 +95,10 @@ def make_error_batches(
 
 
 def main() -> None:
+    global GENOME_SIZE
+
+    import sys as _sys
+
     import jax
 
     from dsk_tpu.utils.hostmem import tune_malloc
@@ -106,9 +110,18 @@ def main() -> None:
 
     from dsk_tpu.dist.engine import DistCountEngine, default_mesh
 
+    # --smoke: tiny shapes for a CPU code-path check (every engine and
+    # section runs; the numbers are meaningless).  The driver's real
+    # bench runs the full shapes on the chip.
+    smoke = "--smoke" in _sys.argv
     k = 31
-    rows, row_len = 2048, 1024
-    n_batches = 64  # 2 groups of 32: ~134 Mbases
+    if smoke:
+        GENOME_SIZE = 1 << 16
+        rows, row_len = 256, 256
+        n_batches = 8
+    else:
+        rows, row_len = 2048, 1024
+        n_batches = 64  # 2 groups of 32: ~134 Mbases
 
     # the static-shape engine: ONE fused step program per flush group
     # (lax.scan of buf_batches route steps + the flush merge) — the axon
@@ -120,13 +133,15 @@ def main() -> None:
     # flush near-linear, peaking at G32 + a distinct-sized 1.5M cap
     # (108.5 Mbases/s device ceiling vs 63.4 at round 2's G4/2M;
     # G48/G64 plateau ~100).
+    G_main = 4 if smoke else 32
+    cap_main = (1 << 16) if smoke else (1 << 20) + (1 << 19)
     engine = DistCountEngine(
         k,
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=32,  # buffer ~27x table: flush re-sort amortized
-        table_cap=(1 << 20) + (1 << 19),
+        buf_batches=G_main,  # buffer ~27x table: flush re-sort amortized
+        table_cap=cap_main,
     )
     import sys
 
@@ -186,7 +201,7 @@ def main() -> None:
     from dsk_tpu.io.packed import pack_codes_exc
 
     d0 = jax.devices()[0]
-    grp = batches[:32]  # one flush group (buf_batches)
+    grp = batches[:G_main]  # one flush group (buf_batches)
     ws, ms = zip(*(pack_codes_exc(b.codes) for b in grp))
     cd = jax.device_put(np.stack(ws), d0)
     md = jax.device_put(np.stack(ms), d0)
@@ -240,20 +255,21 @@ def main() -> None:
     # --- k=63 device ceiling (BASELINE config 4: large-k multi-word
     # kmers, W=4).  Same packed group (packed codes are k-independent);
     # G16 == G32 at W=4 (PERF.md round-2-final), so reuse 16 batches.
+    G63 = 2 if smoke else 16
     engine63 = DistCountEngine(
         63,
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=16,
-        table_cap=(1 << 20) + (1 << 19),
+        buf_batches=G63,
+        table_cap=cap_main,
     )
     engine63.compile(
         progress=lambda m: print(f"[bench k63] {m}", file=sys.stderr)
     )
-    cd16, md16, bd16 = cd[:16], md[:16], bd[:16]
+    cd16, md16, bd16 = cd[:G63], md[:G63], bd[:G63]
     fence(cd16)
-    k63_bases = sum(b.n_bases for b in grp[:16])
+    k63_bases = sum(b.n_bases for b in grp[:G63])
     t63 = fenced_ceiling(engine63, cd16, md16, bd16)
     k63_device_bases_per_s = k63_bases / t63
 
@@ -262,21 +278,20 @@ def main() -> None:
     # 1.4 Mbase genome => ~1.35M distinct, ~0.67M per pass at
     # n_passes=2 vs a 0.75M cap = ~0.9 fill: the two-stage compaction
     # slack valve is live, and both pass filters run.
-    global GENOME_SIZE
     saved_genome = GENOME_SIZE
     # 1.44 Mbase genome => 1,441,7xx distinct, ~721K per pass vs the
     # 786,432 cap = 0.92 fill (measured split jitter ~±900; the first
     # attempt at 1.57 Mbases landed pass 1 at 786,905 — 473 OVER cap)
-    GENOME_SIZE = (1 << 20) + (3 << 17)
-    mp_batches = make_batches(32, rows, row_len, seed=7)
+    GENOME_SIZE = (1 << 17) if smoke else (1 << 20) + (3 << 17)
+    mp_batches = make_batches(G_main, rows, row_len, seed=7)
     GENOME_SIZE = saved_genome
     engine_mp = DistCountEngine(
         k,
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=32,
-        table_cap=768 << 10,
+        buf_batches=G_main,
+        table_cap=(1 << 17) if smoke else 768 << 10,
         n_passes=2,
     )
     engine_mp.compile(
@@ -299,14 +314,16 @@ def main() -> None:
     # reference human run's regime, doc/human_log:18-23) vs the headline
     # stream's 0.8%.  Table is singleton-dominated, flush output
     # pressure is worst-case; fenced ceiling + distinct rate recorded.
-    adv_batches = make_error_batches(32, rows, row_len, err=0.0011, seed=3)
+    adv_batches = make_error_batches(
+        G_main, rows, row_len, err=0.0011, seed=3
+    )
     engine_adv = DistCountEngine(
         k,
         mesh=default_mesh(),
         batch_rows=rows,
         row_len=row_len,
-        buf_batches=32,
-        table_cap=4 << 20,
+        buf_batches=G_main,
+        table_cap=(1 << 17) if smoke else 4 << 20,
     )
     engine_adv.compile(
         progress=lambda m: print(f"[bench adv] {m}", file=sys.stderr)
@@ -329,7 +346,7 @@ def main() -> None:
     engine_adv._check_overflow(over_a, tover_a)
     adv_hist = np.asarray(engine_adv._hist(tab_c_a), dtype=np.int64)
     adv_distinct = int(adv_hist[1:].sum())
-    adv_windows = 32 * rows * (row_len - k + 1)
+    adv_windows = G_main * rows * (row_len - k + 1)
     adv_device_bases_per_s = adv_bases / t_adv
 
     bases_per_s = total_bases / elapsed

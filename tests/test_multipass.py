@@ -65,6 +65,8 @@ def test_planner_tight_memory_multi_pass(data_dir):
         27,
         max_memory_mb=1,
         sample=False,
+        spill="off",  # this test pins the HBM pass ladder; spill mode
+                      # satisfies tight memory with 1 pass instead
     )
     assert plan.n_passes > 1
     # capacity * passes must cover the (upper-bound) distinct estimate

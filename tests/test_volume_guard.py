@@ -159,7 +159,7 @@ def test_planner_volume_constraint():
 
     plan = pl.plan_resources(
         FakeBank(), 31, n_chips=1, sample=False, batch_rows=256,
-        row_len=256,
+        row_len=256, spill="off",  # pins the table path's volume bound
     )
     # distinct estimate upper-bounds at est_windows here (sample=False),
     # so distinct alone would already ask for passes; check the volume
@@ -171,7 +171,7 @@ def test_planner_volume_constraint():
     # 16 chips divide the volume
     plan16 = pl.plan_resources(
         FakeBank(), 31, n_chips=16, sample=False, batch_rows=256,
-        row_len=256,
+        row_len=256, spill="off",
     )
     assert plan16.n_passes >= -(-(est_windows // 16) // pl.OCC_BUDGET_PER_CHIP_PASS)
     assert plan16.n_passes < plan.n_passes
