@@ -1581,30 +1581,45 @@ class DistCountEngine:
         m = int(live.max()) if live.size else 0
         if m == 0:
             return
-        # power-of-two prefix ladder (not the gather path's 64K grid):
-        # this chunker runs EVERY GROUP, so the set of compiled shapes
-        # must stay O(log) — each shape is a remote compile on axon
-        m = max(m, _LIVE_PAD)
-        m = min(1 << (m - 1).bit_length(), Nbuf)
-        t0 = _time.perf_counter()
-        prep = _prefix_chunker(
-            WK, n, 1, Nbuf, m, _D2H_STREAMS,
+        # SLAB fetch: the live prefix downloads in bounded slabs (one
+        # compiled program with a runtime offset, T parallel chunk
+        # streams per slab) instead of one giant multi-hundred-MB
+        # transfer — the tunnel's reverse channel stalls on very large
+        # single fetches (a 742 MB whole-prefix drain hung for 30+ min
+        # at the 4-Gbase tier while 192 MB drains streamed at
+        # 25-30 MB/s), and slabs also give per-slab progress
+        slab = min(_SPILL_SLAB_ROWS, Nbuf)
+        fetcher = _spill_slab_fetcher(
+            WK, n, Nbuf, slab, _D2H_STREAMS,
             aot=(n == 1 and not self.multi_process),
         )
-        chunks = prep(planes_dev, counts_dev)
-        dbg(f"drain: chunker(m={m}) ready in "
-            f"{_time.perf_counter() - t0:.1f}s")
         from concurrent.futures import ThreadPoolExecutor
 
-        t0 = _time.perf_counter()
-        with ThreadPoolExecutor(_D2H_STREAMS) as ex:
-            host = list(ex.map(np.asarray, chunks))
-        mb = sum(h.nbytes for h in host) / (1 << 20)
-        dt = max(_time.perf_counter() - t0, 1e-9)
-        dbg(f"drain: fetched {mb:.0f} MB in {dt:.1f}s ({mb/dt:.1f} MB/s)")
         T = _D2H_STREAMS
-        tp = np.concatenate(host[:T]).reshape(WK, n, m)
-        tc = np.concatenate(host[T:]).reshape(n, m)
+        tp_parts, tc_parts = [], []
+        done = 0
+        t0 = _time.perf_counter()
+        total_mb = 0.0
+        while done < m:
+            st = max(min(done, Nbuf - slab), 0)
+            chunks = fetcher(planes_dev, counts_dev, np.int32(st))
+            with ThreadPoolExecutor(T) as ex:
+                host = list(ex.map(np.asarray, chunks))
+            total_mb += sum(h.nbytes for h in host) / (1 << 20)
+            skip = done - st
+            tp_parts.append(
+                np.concatenate(host[:T]).reshape(WK, n, slab)[:, :, skip:]
+            )
+            tc_parts.append(
+                np.concatenate(host[T:]).reshape(n, slab)[:, skip:]
+            )
+            done = st + slab
+            dbg(f"drain: slab @{st} fetched ({done}/{m} rows)")
+        dt = max(_time.perf_counter() - t0, 1e-9)
+        dbg(f"drain: fetched {total_mb:.0f} MB in {dt:.1f}s "
+            f"({total_mb/dt:.1f} MB/s)")
+        tp = np.concatenate(tp_parts, axis=2)
+        tc = np.concatenate(tc_parts, axis=1)
         for j in range(n):
             lj = int(live[j])
             if lj == 0:
@@ -2451,6 +2466,42 @@ def _enable_persistent_cache(cache_dir: str | None = None) -> None:
 
 _D2H_STREAMS = 8
 _LIVE_PAD = 1 << 16  # live-prefix rounding: bounds chunker recompiles
+_SPILL_SLAB_ROWS = 4 << 20  # spill drain slab (48 MB at W=2): big single
+                            # fetches stall the tunnel's reverse channel
+
+
+@functools.lru_cache(maxsize=8)
+def _spill_slab_fetcher(WK: int, n: int, Nbuf: int, slab: int, T: int,
+                        aot: bool = False):
+    """Jitted slab extractor for the spill drain: slice `slab` rows of
+    every chip's (WK, n, Nbuf) planes + (n, Nbuf) counts at a RUNTIME
+    offset (one compiled program regardless of the live prefix length)
+    and emit 2*T flat chunks for parallel D2H streams."""
+
+    def chunk(flat):
+        total = flat.shape[0]
+        step = -(-total // T)
+        return tuple(flat[i * step : (i + 1) * step] for i in range(T))
+
+    @jax.jit
+    def prep(tab_p, tab_c, start):
+        tp = jax.lax.dynamic_slice(
+            tab_p.reshape(WK, n, Nbuf), (0, 0, start), (WK, n, slab)
+        ).reshape(-1)
+        tc = jax.lax.dynamic_slice(
+            tab_c.reshape(n, Nbuf), (0, start), (n, slab)
+        ).reshape(-1)
+        return chunk(tp) + chunk(tc)
+
+    if not aot:
+        return prep
+    avals = (
+        jax.ShapeDtypeStruct((WK, n * Nbuf), jnp.uint32),
+        jax.ShapeDtypeStruct((n * Nbuf,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    with _locfree():
+        return prep.lower(*avals).compile()
 
 
 @functools.lru_cache(maxsize=32)
