@@ -179,7 +179,7 @@ def main() -> None:
     # ~22), wait the window out — up to 4 x 2.5 min (a truly dead window
     # measured 0.38 Mbases/s = 26x under the healthy number, so a bad
     # sample here misstates the result far more than 10 extra minutes).
-    for retry in range(4):
+    for retry in range(0 if smoke else 4):
         if wire_mb / elapsed >= 10.0:
             break
         print(
