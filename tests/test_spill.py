@@ -280,3 +280,14 @@ def test_execute_spill_disk_valve(data_dir, tmp_path, monkeypatch):
         if c
     }
     assert got == want
+
+
+def test_spill_multi_slab_drain(expect, monkeypatch):
+    """The drain's slab loop (bounded fetches with a runtime offset;
+    the last slab overlaps and is host-skipped) must be value-exact —
+    force tiny slabs so every group drains in several."""
+    from dsk_tpu.dist import engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "_SPILL_SLAB_ROWS", 1 << 12)
+    res = _spill_engine(1).count(URI)
+    assert _as_table(res) == expect
