@@ -1664,12 +1664,31 @@ class DistCountEngine:
         work = [(pid, P_, pid) for pid in spill.partitions()]
         from concurrent.futures import ThreadPoolExecutor
 
+        # sliced parallel puts (single-chip only): one monolithic ~100 MB
+        # device_put rides ONE tunnel stream (~9 MB/s); T column slices
+        # over a put pool multiplex to ~22 MB/s (measure_h2d_streams),
+        # reassembled by a tiny jitted device-side concat.  Sharded
+        # meshes keep the single sharded put (slice-puts would fight the
+        # sharding layout).
+        T_put = _D2H_STREAMS if single else 1
+        if single and not hasattr(self, "_spill_cat"):
+            step = -(-Rc * n // T_put)
+
+            def cat(ps, cs):
+                return (
+                    jnp.concatenate(ps, axis=1),
+                    jnp.concatenate(cs, axis=0),
+                )
+
+            self._spill_cat = jax.jit(cat)
+            self._spill_cat_step = step
+
         def make_chunk(batch, ci):
             """Assemble + transfer one merge chunk (runs one ahead on
             the putter thread so host read/assembly and the H2D wire
             overlap the previous chunk's device merge; the 1-element
-            fetch is the eager-wire fence — device_put is lazy through
-            the tunnel, see _feed_groups)."""
+            fetches are the eager-wire fence — device_put is lazy
+            through the tunnel, see _feed_groups)."""
             rec_p = np.full((WK, n * Rc), SENTINEL, np.uint32)
             rec_c = np.zeros((n * Rc,), np.int32)
             for j, e in enumerate(batch):
@@ -1680,10 +1699,28 @@ class DistCountEngine:
                     rec_c[j * Rc : j * Rc + r] = chunk[:, WK].view(
                         np.int32
                     )
-            rp_dev = jax.device_put(rec_p, device0 if single else sh_p)
-            rc_dev = jax.device_put(rec_c, device0 if single else sh_b)
-            _ = np.asarray(rp_dev[0, 0])
-            return rp_dev, rc_dev
+            if not single:
+                rp_dev = jax.device_put(rec_p, sh_p)
+                rc_dev = jax.device_put(rec_c, sh_b)
+                _ = np.asarray(rp_dev[0, 0])
+                return rp_dev, rc_dev
+            step = self._spill_cat_step
+
+            def put_slice(i):
+                lo = i * step
+                hi = min(lo + step, n * Rc)
+                p = jax.device_put(
+                    np.ascontiguousarray(rec_p[:, lo:hi]), device0
+                )
+                c = jax.device_put(rec_c[lo:hi], device0)
+                _ = np.asarray(p[0, :1])
+                return p, c
+
+            with ThreadPoolExecutor(T_put) as ex:
+                parts = list(ex.map(put_slice, range(T_put)))
+            return self._spill_cat(
+                [p for p, _c in parts], [c for _p, c in parts]
+            )
 
         putter = ThreadPoolExecutor(1)
         try:
