@@ -385,6 +385,18 @@ class DistCountEngine:
             if self.multi_process or self.row_len >= 0xFFFF
             else "exc"
         )
+        if self.spill:
+            # spill mode sustains BIDIRECTIONAL tunnel traffic (H2D
+            # input wire + D2H drains); unsynchronized concurrent
+            # directions wedged the axon device server at the 4-Gbase
+            # tier (both the run AND fresh probe processes hung until
+            # the run was killed).  One lock serializes wire OPERATIONS
+            # (each still internally multiplexed over parallel
+            # streams).  Real PCIe needs none of this — the lock exists
+            # only because self.spill engines drain continuously.
+            import threading
+
+            self._wire_lock = threading.Lock()
         from dsk_tpu.kmer.pallas_kernels import MIN_PALLAS_ROW_LEN
 
         self.use_pallas = (
@@ -1537,7 +1549,7 @@ class DistCountEngine:
                 )
                 # bound in-flight group outputs (HBM) and surface writer
                 # errors (SpillDiskOverflow) promptly
-                while len(pending) > 2:
+                while len(pending) > 1:
                     pending.popleft().result()
                 n_groups += 1
                 if progress_cb is not None and n_groups % 8 == 0:
@@ -1600,11 +1612,17 @@ class DistCountEngine:
         done = 0
         t0 = _time.perf_counter()
         total_mb = 0.0
+        import contextlib
+
+        wire_lock = getattr(self, "_wire_lock", None) or (
+            contextlib.nullcontext()
+        )
         while done < m:
             st = max(min(done, Nbuf - slab), 0)
-            chunks = fetcher(planes_dev, counts_dev, np.int32(st))
-            with ThreadPoolExecutor(T) as ex:
-                host = list(ex.map(np.asarray, chunks))
+            with wire_lock:
+                chunks = fetcher(planes_dev, counts_dev, np.int32(st))
+                with ThreadPoolExecutor(T) as ex:
+                    host = list(ex.map(np.asarray, chunks))
             total_mb += sum(h.nbytes for h in host) / (1 << 20)
             skip = done - st
             tp_parts.append(
@@ -1716,8 +1734,14 @@ class DistCountEngine:
                 _ = np.asarray(p[0, :1])
                 return p, c
 
-            with ThreadPoolExecutor(T_put) as ex:
-                parts = list(ex.map(put_slice, range(T_put)))
+            import contextlib
+
+            wire_lock = getattr(self, "_wire_lock", None) or (
+                contextlib.nullcontext()
+            )
+            with wire_lock:
+                with ThreadPoolExecutor(T_put) as ex:
+                    parts = list(ex.map(put_slice, range(T_put)))
             return self._spill_cat(
                 [p for p, _c in parts], [c for _p, c in parts]
             )
@@ -2004,6 +2028,11 @@ class DistCountEngine:
         nw_p, nb_p = packed_shapes(self.row_len)
         exc_wire = self.wire == "exc"
         wire_E = self.wire_E
+        import contextlib
+
+        wire_lock = getattr(self, "_wire_lock", None) or (
+            contextlib.nullcontext()
+        )
 
         def pack_one(batch):
             """Pack one batch to the packed wire format (io/packed.py)
@@ -2097,9 +2126,12 @@ class DistCountEngine:
                 )
             where = device0 if single else group_sharding
             where_b = device0 if single else bid_sharding
-            words_dev = jax.device_put(words, where)
-            bitmap_dev = jax.device_put(bitmap, where)
-            bids_dev = jax.device_put(bids, where_b)
+            with wire_lock:
+                words_dev = jax.device_put(words, where)
+                bitmap_dev = jax.device_put(bitmap, where)
+                bids_dev = jax.device_put(bids, where_b)
+                _ = np.asarray(words_dev[0, 0, 0])
+            return (words_dev, bitmap_dev, bids_dev, bb, rr)
             # eager-wire fence: device_put only DISPATCHES the transfer;
             # through the axon tunnel the bytes are otherwise pulled
             # lazily when the step that consumes them executes, which
@@ -2107,9 +2139,8 @@ class DistCountEngine:
             # overlapping them (measured: stream ~= t_gen + wire).  A
             # 1-element fetch here (on the prefetch thread) forces the
             # transfer to stream NOW, while the next group is being
-            # parsed and earlier steps execute.
-            _ = np.asarray(words_dev[0, 0, 0])
-            return (words_dev, bitmap_dev, bids_dev, bb, rr)
+            # parsed and earlier steps execute.  (wire_lock: see
+            # __init__ — spill mode serializes tunnel directions.)
 
         # single-device engines transfer per BATCH, not per group: the
         # step still consumes (G, ...) stacked arrays, but a tiny jitted
@@ -2134,10 +2165,11 @@ class DistCountEngine:
                 it = pack_one(it)
             words, bitmap, bids, bb, rr = it
             wire_bytes[0] += words.nbytes + bitmap.nbytes + bids.nbytes
-            words_dev = jax.device_put(words, device0)
-            bitmap_dev = jax.device_put(bitmap, device0)
-            bids_dev = jax.device_put(bids, device0)
-            _ = np.asarray(words_dev[0, 0])  # eager-wire fence (see put)
+            with wire_lock:
+                words_dev = jax.device_put(words, device0)
+                bitmap_dev = jax.device_put(bitmap, device0)
+                bids_dev = jax.device_put(bids, device0)
+                _ = np.asarray(words_dev[0, 0])  # eager fence (see put)
             return (words_dev, bitmap_dev, bids_dev, bb, rr)
 
         def timed_put(nxt):
