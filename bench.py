@@ -323,7 +323,9 @@ def main() -> None:
         batch_rows=rows,
         row_len=row_len,
         buf_batches=G_main,
-        table_cap=(1 << 17) if smoke else 4 << 20,
+        table_cap=(1 << 17) if smoke else 3 << 21,  # ~2x headroom over
+        # the ~3.5M worst-case distinct of this shape: an overflow here
+        # would abort the driver's whole bench run
     )
     engine_adv.compile(
         progress=lambda m: print(f"[bench adv] {m}", file=sys.stderr)
