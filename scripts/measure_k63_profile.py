@@ -42,6 +42,13 @@ def main() -> int:
 
     tune_malloc()
     import jax
+
+    # real uint64 keys need jax_enable_x64 — but x64 breaks the engine's
+    # traced int32 indices, so the u64 A/B runs in its OWN process
+    # (--x64-sorts-only: standalone sorts, no engine)
+    x64_only = "--x64-sorts-only" in sys.argv
+    if x64_only:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
 
@@ -62,32 +69,43 @@ def main() -> int:
     rows, row_len = 2048, 1024
     G = 16
     cap = (1 << 20) + (1 << 19)
-    eng = DistCountEngine(
-        k, mesh=default_mesh(), batch_rows=rows, row_len=row_len,
-        buf_batches=G, table_cap=cap,
-    )
-    eng.compile(progress=log)
-    W = eng.W
-    Nbuf = eng.plan.buf_batches * eng.plan.bucket_cols
-    log(f"W={W} Nbuf={Nbuf} cap={cap} segments={eng.compact_segments}")
+    if x64_only:
+        eng = None
+        W = 4
+        Nbuf = 31522816  # match the engine run's buffer rows
+    else:
+        eng = DistCountEngine(
+            k, mesh=default_mesh(), batch_rows=rows, row_len=row_len,
+            buf_batches=G, table_cap=cap,
+        )
+        eng.compile(progress=log)
+        W = eng.W
+        Nbuf = eng.plan.buf_batches * eng.plan.bucket_cols
+        log(f"W={W} Nbuf={Nbuf} cap={cap} "
+            f"segments={eng.compact_segments}")
 
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, size=1 << 20, dtype=np.uint8)
     batches = []
-    for _ in range(G):
-        starts = rng.integers(0, (1 << 20) - row_len, size=rows)
-        codes = genome[starts[:, None] + np.arange(row_len)[None, :]]
-        batches.append(Batch(codes=codes, bank_ids=np.zeros(rows, np.int32),
-                             n_rows=rows, n_bases=int(codes.size),
-                             n_reads=rows))
-    ws, ms = zip(*(pack_codes_exc(b.codes) for b in batches))
-    cd = jax.device_put(np.stack(ws), d0)
-    md = jax.device_put(np.stack(ms), d0)
-    bd = jax.device_put(np.stack([b.bank_ids for b in batches]), d0)
-    fence = lambda a: float(np.asarray(
-        jnp.sum(a.ravel()[:1].astype(jnp.float32))))
-    fence(cd)
-    bases = sum(b.n_bases for b in batches)
+    if not x64_only:
+        for _ in range(G):
+            starts = rng.integers(0, (1 << 20) - row_len, size=rows)
+            codes = genome[starts[:, None] + np.arange(row_len)[None, :]]
+            batches.append(
+                Batch(codes=codes, bank_ids=np.zeros(rows, np.int32),
+                      n_rows=rows, n_bases=int(codes.size),
+                      n_reads=rows))
+        ws, ms = zip(*(pack_codes_exc(b.codes) for b in batches))
+        cd = jax.device_put(np.stack(ws), d0)
+        md = jax.device_put(np.stack(ms), d0)
+        bd = jax.device_put(np.stack([b.bank_ids for b in batches]), d0)
+    def fence(a):
+        while isinstance(a, (tuple, list)):
+            a = a[0]
+        return float(np.asarray(jnp.sum(a.ravel()[:1].astype(jnp.float32))))
+    if not x64_only:
+        fence(cd)
+    bases = sum(b.n_bases for b in batches) if batches else 0
 
     def best3(fn, *args):
         best = float("inf")
@@ -103,14 +121,17 @@ def main() -> int:
     results = {}
 
     # 1. fenced full step
-    def full_step():
-        tab = eng._init_state()
-        return eng._step(cd, md, bd, *tab, jnp.int32(0))[3]
+    t_step = None
+    if not x64_only:
+        def full_step():
+            tab = eng._init_state()
+            return eng._step(cd, md, bd, *tab, jnp.int32(0))[3]
 
-    t_step, _ = best3(full_step)
-    results["step_s"] = round(t_step, 3)
-    results["device_bases_per_s"] = round(bases / t_step, 1)
-    log(f"full step {t_step:.3f}s = {bases / t_step / 1e6:.1f} Mbases/s")
+        t_step, _ = best3(full_step)
+        results["step_s"] = round(t_step, 3)
+        results["device_bases_per_s"] = round(bases / t_step, 1)
+        log(f"full step {t_step:.3f}s = "
+            f"{bases / t_step / 1e6:.1f} Mbases/s")
 
     # synthetic buffer rows shaped like the real flush input: sorted-
     # input cost equals real cost for comparison networks only if the
@@ -137,23 +158,30 @@ def main() -> int:
     results["sort4_u32_s"] = round(t, 3)
     log(f"sort 4xu32 keys: {t:.3f}s")
 
-    # 2b. 2x uint64 packed keys
-    with _locfree():
-        pack64 = jax.jit(
-            lambda a, b, c, d: (
-                (a.astype(jnp.uint64) << 32) | b.astype(jnp.uint64),
-                (c.astype(jnp.uint64) << 32) | d.astype(jnp.uint64),
-            )
-        ).lower(*pd).compile()
-    p64 = pack64(*pd)
-    fence(p64[0])
-    with _locfree():
-        sort2_64 = jax.jit(
-            lambda a, b: jax.lax.sort((a, b), num_keys=2)
-        ).lower(*p64).compile()
-    t, _ = best3(lambda: sort2_64(*p64))
-    results["sort2_u64_s"] = round(t, 3)
-    log(f"sort 2xu64 keys: {t:.3f}s")
+    # 2b. 2x uint64 packed keys (real u64 only under --x64-sorts-only;
+    # x64 breaks the engine's traced indices so it gets its own process)
+    if x64_only:
+        with _locfree():
+            pack64 = jax.jit(
+                lambda a, b, c, d: (
+                    (a.astype(jnp.uint64) << 32) | b.astype(jnp.uint64),
+                    (c.astype(jnp.uint64) << 32) | d.astype(jnp.uint64),
+                )
+            ).lower(*pd).compile()
+        p64 = pack64(*pd)
+        fence(p64[0])
+        with _locfree():
+            sort2_64 = jax.jit(
+                lambda a, b: jax.lax.sort((a, b), num_keys=2)
+            ).lower(*p64).compile()
+        t, _ = best3(lambda: sort2_64(*p64))
+        results["sort2_u64_s"] = round(t, 3)
+        log(f"sort 2xu64 keys: {t:.3f}s")
+        # also re-measure the 4xu32 baseline in THIS process for a
+        # same-window comparison
+        print(json.dumps({"gate": "k63_profile_x64", **results}),
+              flush=True)
+        return 0
 
     # 2c. bound: 2x uint32 keys + 2 carried operands
     with _locfree():
