@@ -291,3 +291,18 @@ def test_spill_multi_slab_drain(expect, monkeypatch):
     monkeypatch.setattr(eng_mod, "_SPILL_SLAB_ROWS", 1 << 12)
     res = _spill_engine(1).count(URI)
     assert _as_table(res) == expect
+
+
+def test_spill_multipass_resume(expect):
+    """_count_spilled's done_passes path: a preloaded pass is skipped
+    (its batches only tee the cache) and the merged result still equals
+    the oracle — the crash-resume contract for spill runs."""
+    eng = _spill_engine(1, n_passes=2)
+    saved = {}
+    full = eng.count(
+        URI, n_passes=2, on_pass=lambda p, r: saved.setdefault(p, r)
+    )
+    assert _as_table(full) == expect
+    eng2 = _spill_engine(1, n_passes=2)
+    res = eng2.count(URI, n_passes=2, done_passes={0: saved[0]})
+    assert _as_table(res) == expect
