@@ -67,15 +67,14 @@ def main(argv: list[str] | None = None) -> int:
                 except ValueError:
                     import numpy as np
 
+                    from dsk_tpu.store.hdf5 import _lex_order
+
                     parts = list(store.iter_solid())
                     kk = np.concatenate([p[0] for p in parts])
                     cc = np.concatenate(
                         [p[1].astype(np.int64) for p in parts]
                     )
-                    w = kk.shape[1]
-                    order = np.lexsort(
-                        tuple(kk[:, i] for i in range(w - 1, -1, -1))
-                    )
+                    order = _lex_order(kk)
                     kk, cc = kk[order], cc[order]
                     step = store_text.DUMP_CHUNK_ROWS
                     for off in range(0, kk.shape[0], step):

@@ -46,6 +46,28 @@ except ImportError:  # pragma: no cover
 from dsk_tpu.kmer import codec
 
 
+def _lex_order(kk: np.ndarray) -> np.ndarray:
+    """Lexicographic argsort of (n, W) big-endian uint32 word rows.
+
+    np.lexsort over uint32 columns measured 25x SLOWER than packing
+    word pairs into uint64 and argsorting (0.51 s vs 0.02 s for 1.8M
+    rows) — at 56M dump rows the difference is the whole budget.  Words
+    pair from the most-significant side, so u64-column order equals
+    word order; odd W leaves the least word alone."""
+    w = kk.shape[1]
+    cols = []
+    for i in range(0, w - 1, 2):
+        cols.append(
+            (kk[:, i].astype(np.uint64) << np.uint64(32))
+            | kk[:, i + 1]
+        )
+    if w % 2:
+        cols.append(kk[:, w - 1].astype(np.uint64))
+    if len(cols) == 1:
+        return np.argsort(cols[0], kind="stable")
+    return np.lexsort(tuple(cols[::-1]))
+
+
 def _ascending_runs(kk: np.ndarray, w: int) -> list[int]:
     """Lengths of maximal ascending runs of (n, w) big-endian word rows
     (split at every lexicographic descent, vectorized).  Bucketized
@@ -377,9 +399,7 @@ class OutputStore:
         alive = runs
 
         def lexsorted(kk, cc):
-            order = np.lexsort(
-                tuple(kk[:, w] for w in range(W - 1, -1, -1))
-            )
+            order = _lex_order(kk)
             return kk[order], cc[order]
 
         while alive:
