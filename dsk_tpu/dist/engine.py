@@ -350,13 +350,13 @@ class DistCountEngine:
         )
         self.multi_process = self.n_local_chips < self.n
         self.local_batch_rows = self.rows_per_chip * self.n_local_chips
-        if self.spill and self.multi_process:
-            # per-host spill stores + a lockstep count phase are a
-            # round-5 item; the single-host path covers the reference's
-            # contract (DSK is single-machine, doc/paper.tex:123-137)
-            raise ValueError(
-                "spill mode is not supported on multi-process meshes"
-            )
+        # multi-process spill: spill_dir MUST be a SHARED filesystem —
+        # each host appends host-suffixed bucket files and the count
+        # phase reads every host's files for the partitions it owns
+        # (the reference's filesystem-as-interconnect,
+        # doc/paper.tex:71-76, stretched across hosts).  The count
+        # phase is host-LOCAL (no collectives): partitions are owned by
+        # pid % n_hosts and merged on the owner's first local chip.
         # count-phase merge chunk (records per chip per H2D transfer):
         # big enough to amortize the merge sort over the table, bounded
         # so the H2D payload and sort scratch stay modest
@@ -1454,29 +1454,56 @@ class DistCountEngine:
                 "stream snapshots"
             )
         base = self.spill_dir or cache_dir or tempfile.gettempdir()
+        if self.multi_process:
+            # shared dir + a DETERMINISTIC name (every process must
+            # agree); per-pass subdirs keep passes disjoint
+            run_tag = f"dsk_tpu_spill_mp_{self.k}_{self.n_passes}"
+        else:
+            run_tag = f"dsk_tpu_spill_{uuid.uuid4().hex}"
 
         def run_pass(p, batches):
             spill = SpillStore(
-                os.path.join(base, f"dsk_tpu_spill_{uuid.uuid4().hex}"),
+                os.path.join(base, run_tag, f"pass{p}"),
                 self.WK,
                 max_disk_mb=max_disk_mb,
+                host=jax.process_index() if self.multi_process else 0,
+                n_hosts=jax.process_count() if self.multi_process else 1,
             )
             try:
                 stats = self._spill_stream(
                     batches, spill, pass_id=p, progress_cb=progress_cb
                 )
-                return self._count_partitions(
+                if self.multi_process:
+                    # every host's bucket files must be complete before
+                    # any host reads them for its owned partitions
+                    from jax.experimental import multihost_utils
+
+                    spill.close()
+                    multihost_utils.sync_global_devices(
+                        f"dsk_tpu_spill_fill_{p}"
+                    )
+                res = self._count_partitions(
                     spill, p, pass_sink, stats, nb_banks=bank.nb_banks
                 )
+                if self.multi_process:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices(
+                        f"dsk_tpu_spill_count_{p}"
+                    )
+                return res
             finally:
                 spill.delete()
 
+        reader_rows = (
+            self.local_batch_rows if self.multi_process else self.batch_rows
+        )
         if n_passes <= 1:
             res = run_pass(
                 0,
                 prefetch(
                     batch_iterator(
-                        bank, self.k, self.batch_rows, self.row_len,
+                        bank, self.k, reader_rows, self.row_len,
                         n_workers=n_workers,
                     )
                 ),
@@ -1489,7 +1516,7 @@ class DistCountEngine:
         done_passes = done_passes or {}
         results = []
         for p, batches in multipass_batches(
-            bank, self.k, self.batch_rows, self.row_len, n_passes,
+            bank, self.k, reader_rows, self.row_len, n_passes,
             cache_dir, n_workers=n_workers, max_disk_mb=max_disk_mb,
         ):
             if p in done_passes:
@@ -1525,6 +1552,22 @@ class DistCountEngine:
         n_bases = 0
         n_reads = 0
         spilled = [0]
+        if self.multi_process:
+            # SPMD contract: every process dispatches the same number of
+            # (shard_mapped) spill steps; exhausted hosts pad
+            from dsk_tpu.dist.multihost import lockstep_batches
+            from dsk_tpu.io.batch import PAD, Batch
+
+            rows = self.local_batch_rows
+
+            def make_empty():
+                return Batch(
+                    np.full((rows, self.row_len), PAD, np.uint8),
+                    np.zeros(rows, np.int32),
+                    0,
+                )
+
+            batches = lockstep_batches(batches, make_empty, group=G)
         feed = self._feed_groups(batches, sub, wire_bytes)
         writer = ThreadPoolExecutor(1)
         pending: deque = deque()
@@ -1586,6 +1629,14 @@ class DistCountEngine:
         plan, WK = self.plan, self.WK
         n, P_ = plan.n, self.spill_partitions
         Nbuf = planes_dev.shape[1] // n
+        if self.multi_process:
+            # each host drains only its own chips' shards (whole-shard
+            # fetches — slabbing the local shards is a real-pod perf
+            # item; CPU-mesh shards are small)
+            self._drain_spill_group_local(
+                planes_dev, counts_dev, bounds_dev, spill, acc, Nbuf
+            )
+            return
         t0 = _time.perf_counter()
         bounds = np.asarray(bounds_dev)  # (n, P_+1)
         dbg(f"drain: bounds in {_time.perf_counter() - t0:.1f}s")
@@ -1651,6 +1702,202 @@ class DistCountEngine:
                     spill.append(pid, arr[lo:hi])
         acc[0] += int(live.sum())
 
+    def _drain_spill_group_local(
+        self, planes_dev, counts_dev, bounds_dev, spill, acc, Nbuf
+    ) -> None:
+        """Multi-process drain: download this host's chips' shards and
+        append their partition slices to the host-suffixed bucket
+        files (dist/spill.py)."""
+        WK, P_ = self.WK, self.spill_partitions
+        bounds_by_chip = {}
+        for s in bounds_dev.addressable_shards:
+            bounds_by_chip[s.index[0].start or 0] = np.asarray(s.data)[0]
+        counts_by_chip = {}
+        for s in counts_dev.addressable_shards:
+            counts_by_chip[(s.index[0].start or 0) // Nbuf] = np.asarray(
+                s.data
+            )
+        planes_by_chip = {}
+        for s in planes_dev.addressable_shards:
+            planes_by_chip[(s.index[1].start or 0) // Nbuf] = np.asarray(
+                s.data
+            )
+        for j in sorted(counts_by_chip):
+            b = bounds_by_chip[j]
+            lj = int(b[P_])
+            if lj == 0:
+                continue
+            tp = planes_by_chip[j]  # (WK, Nbuf)
+            tc = counts_by_chip[j]  # (Nbuf,)
+            arr = np.empty((lj, WK + 1), np.uint32)
+            arr[:, :WK] = tp[:, :lj].T
+            arr[:, WK] = tc[:lj].view(np.uint32)
+            for pid in range(P_):
+                lo, hi = int(b[pid]), int(b[pid + 1])
+                if hi > lo:
+                    spill.append(pid, arr[lo:hi])
+            acc[0] += lj
+
+    def _count_partitions_multiproc(
+        self, spill, pass_id: int, pass_sink, stats: dict,
+        nb_banks: int = 1,
+    ) -> CountResult:
+        """Multi-process count phase: host-LOCAL, collective-free.
+        Partitions are owned by pid % n_hosts (split children inherit
+        their parent's owner — no cross-host coordination) and merged
+        one at a time on this host's first local chip, reading EVERY
+        host's bucket files for each (dist/spill.py read_chunk_all over
+        the shared dir).  The global histogram/totals allgather-sum at
+        the end; the result carries THIS host's partitions — the
+        per-host partition outputs the multihost driver persists
+        (scripts/multihost_count.py)."""
+        import time as _time
+
+        from jax.experimental import multihost_utils
+
+        plan, WK = self.plan, self.WK
+        cap, P_ = plan.table_cap, self.spill_partitions
+        Rc = self.spill_chunk_rows
+        rank = jax.process_index()
+        n_hosts = jax.process_count()
+        t0 = _time.perf_counter()
+
+        if not hasattr(self, "_spill_local_prog"):
+            from dsk_tpu.kmer.device import sum_by_key_planes_capped
+
+            cs = self._spill_merge_segments
+
+            def merge_local(rec_p, rec_c, tab_p, tab_c, tover):
+                planes = tuple(
+                    jnp.concatenate([rec_p[w], tab_p[w]])
+                    for w in range(WK)
+                )
+                weights = jnp.concatenate([rec_c, tab_c])
+                uniq, counts, n_uniq, n_lost, wrapped = (
+                    sum_by_key_planes_capped(
+                        planes, weights, cap, segments=cs
+                    )
+                )
+                tover = tover + (
+                    ((n_uniq > cap) | (n_lost > 0)).astype(jnp.int32)
+                    + (wrapped << WRAP_SHIFT)
+                )[None]
+                return jnp.stack(uniq, axis=0), counts, tover
+
+            self._spill_local_prog = jax.jit(
+                merge_local, donate_argnums=(2, 3, 4)
+            )
+            self._spill_local_init = jax.jit(
+                lambda: (
+                    jnp.full((WK, cap), SENTINEL, jnp.uint32),
+                    jnp.zeros((cap,), jnp.int32),
+                    jnp.zeros((1,), jnp.int32),
+                )
+            )
+
+        hist = np.zeros(self.nb_bins + 1, np.int64)
+        collect = pass_sink is None
+        out_k: list = []
+        out_c: list = []
+        sizes: list[int] = []
+        ids: list[int] = []
+        next_id = P_ + rank  # rank-strided: globally unique split ids
+        splits = 0
+        n_distinct = 0
+        work = [
+            (pid, P_, pid)
+            for pid in range(P_)
+            if pid % n_hosts == rank and spill.rows_all(pid) > 0
+        ]
+        while work:
+            pid, modulus, residue = work.pop(0)
+            tab_p, tab_c, tover = self._spill_local_init()
+            total_rows = spill.rows_all(pid)
+            for ci in range(max(-(-total_rows // Rc), 1)):
+                chunk = spill.read_chunk_all(pid, ci * Rc, Rc)
+                rec_p = np.full((WK, Rc), SENTINEL, np.uint32)
+                rec_c = np.zeros((Rc,), np.int32)
+                r = chunk.shape[0]
+                if r:
+                    rec_p[:, :r] = chunk[:, :WK].T
+                    rec_c[:r] = chunk[:, WK].view(np.int32)
+                tab_p, tab_c, tover = self._spill_local_prog(
+                    jax.device_put(rec_p), jax.device_put(rec_c),
+                    tab_p, tab_c, tover,
+                )
+            if int(np.asarray(tover)[0]):
+                if modulus >= (1 << 24):
+                    raise TableOverflow(
+                        f"spill partition {pid} cannot fit {cap}-slot "
+                        f"tables even after {modulus // P_}x splitting"
+                    )
+                spill.split(pid, modulus, residue, next_id)
+                work.append((pid, 2 * modulus, residue))
+                work.append((next_id, 2 * modulus, residue + modulus))
+                next_id += n_hosts
+                splits += 1
+                continue
+            tc = np.asarray(tab_c)
+            tp = np.asarray(tab_p)
+            mask = tc > 0
+            kk = tp[:, mask].T
+            cc = tc[mask]
+            if cc.size:
+                hist += np.bincount(
+                    np.clip(cc, 1, self.nb_bins),
+                    minlength=self.nb_bins + 1,
+                ).astype(np.int64)
+            n_distinct += int(kk.shape[0])
+            ids.append(pid)
+            sizes.append(int(kk.shape[0]))
+            if pass_sink is not None:
+                pass_sink(pass_id, pid, kk, cc)
+            else:
+                out_k.append(kk)
+                out_c.append(cc)
+        # global histogram/totals (identical on every host)
+        hist = np.asarray(
+            multihost_utils.process_allgather(hist)
+        ).sum(axis=0)
+        tot = np.asarray(
+            multihost_utils.process_allgather(
+                np.array(
+                    [n_distinct, stats.get("n_bases", 0),
+                     stats.get("n_reads", 0)],
+                    np.int64,
+                )
+            )
+        )
+        self.local_partition_ids = ids
+        info = dict(stats)
+        info.update(
+            {
+                "nb_banks": nb_banks,
+                "n_chips": plan.n,
+                "n_hosts": n_hosts,
+                "n_bases_local": stats.get("n_bases", 0),
+                "n_bases": int(tot[:, 1].sum()),
+                "n_reads": int(tot[:, 2].sum()),
+                "spill": True,
+                "spill_partitions": P_,
+                "spill_splits": splits,
+                "partition_sizes": sizes,
+                "partition_ids": ids,
+                "n_distinct_device": int(tot[:, 0].sum()),
+                "t_count_phase": round(_time.perf_counter() - t0, 3),
+            }
+        )
+        if collect and out_k:
+            kmers = np.concatenate(out_k, axis=0)
+            counts = np.concatenate(out_c, axis=0)
+        else:
+            kmers = np.empty((0, WK), np.uint32)
+            counts = np.empty((0,), np.int32)
+        return CountResult(
+            k=self.k, kmers=kmers, counts=counts, histogram=hist,
+            info=info,
+        )
+
     def _count_partitions(
         self, spill, pass_id: int, pass_sink, stats: dict,
         nb_banks: int = 1,
@@ -1660,6 +1907,10 @@ class DistCountEngine:
         partition that overflows its table (or wraps the occurrence
         cumsum) is SPLIT locally (hash modulus doubling) and requeued —
         only that bucket's bytes are re-read, never the input."""
+        if self.multi_process:
+            return self._count_partitions_multiproc(
+                spill, pass_id, pass_sink, stats, nb_banks
+            )
         import time as _time
 
         plan, WK = self.plan, self.WK

@@ -75,9 +75,17 @@ class SpillStore:
 
     MAX_OPEN = 64
 
-    def __init__(self, root: str, wk: int, max_disk_mb: int = 0):
+    def __init__(self, root: str, wk: int, max_disk_mb: int = 0,
+                 host: int = 0, n_hosts: int = 1):
+        """host/n_hosts: multi-process mode — `root` is a SHARED
+        directory (the reference's filesystem-as-interconnect,
+        doc/paper.tex:71-76); each process appends only its own
+        host-suffixed files, and the count phase reads EVERY host's
+        files for the partitions it owns (read_chunk_all)."""
         self.root = root
         self.wk = wk
+        self.host = host
+        self.n_hosts = n_hosts
         self.rec_bytes = 4 * (wk + 1)
         self.budget = max_disk_mb << 20 if max_disk_mb > 0 else 0
         self.bytes_written = 0
@@ -85,8 +93,9 @@ class SpillStore:
         self._open: dict[int, object] = {}  # pid -> handle (LRU by dict order)
         os.makedirs(root, exist_ok=True)
 
-    def _path(self, pid: int) -> str:
-        return os.path.join(self.root, f"part_{pid:05d}.bin")
+    def _path(self, pid: int, host: int | None = None) -> str:
+        h = self.host if host is None else host
+        return os.path.join(self.root, f"part_{pid:05d}_h{h:03d}.bin")
 
     def _handle(self, pid: int):
         h = self._open.pop(pid, None)
@@ -121,6 +130,54 @@ class SpillStore:
     def partitions(self) -> list[int]:
         return sorted(p for p, n in self._rows.items() if n > 0)
 
+    # -- cross-host views (multi-process count phase) --------------------
+
+    def rows_all(self, pid: int) -> int:
+        """Rows of pid across EVERY host's file (shared dir)."""
+        if self.n_hosts <= 1:
+            return self.rows(pid)
+        self._flush(pid)
+        total = 0
+        for h in range(self.n_hosts):
+            p = self._path(pid, h)
+            if os.path.exists(p):
+                total += os.path.getsize(p) // self.rec_bytes
+        return total
+
+    def read_chunk_all(
+        self, pid: int, start_row: int, n_rows: int
+    ) -> np.ndarray:
+        """Rows [start, start+n) of pid over the host-ordered
+        concatenation of every host's file."""
+        if self.n_hosts <= 1:
+            return self.read_chunk(pid, start_row, n_rows)
+        self._flush(pid)
+        parts = []
+        need = n_rows
+        off = start_row
+        for h in range(self.n_hosts):
+            p = self._path(pid, h)
+            if not os.path.exists(p):
+                continue
+            rows_h = os.path.getsize(p) // self.rec_bytes
+            if off >= rows_h:
+                off -= rows_h
+                continue
+            m = min(need, rows_h - off)
+            parts.append(
+                np.fromfile(
+                    p, dtype=np.uint32, count=m * (self.wk + 1),
+                    offset=off * self.rec_bytes,
+                ).reshape(m, self.wk + 1)
+            )
+            need -= m
+            off = 0
+            if need == 0:
+                break
+        if not parts:
+            return np.empty((0, self.wk + 1), np.uint32)
+        return np.concatenate(parts, axis=0)
+
     def _flush(self, pid: int) -> None:
         h = self._open.get(pid)
         if h is not None:
@@ -148,19 +205,42 @@ class SpillStore:
         modulus), by re-hashing the stored key words on the host.  The
         local overflow valve: only this bucket's bytes are re-read, never
         the input (the reference resolves skew the same way — more,
-        smaller partitions; doc/paper.tex:66-67)."""
+        smaller partitions; doc/paper.tex:66-67).
+
+        Multi-process: the OWNER host splits every host's file of pid in
+        place (exclusive ownership — fill is complete before counting
+        starts, so no concurrent writers) and collects the hi halves
+        into its own new_pid file."""
         self._flush(pid)
         h = self._open.pop(pid, None)
         if h is not None:
             h.close()
-        rows = self.read_chunk(pid, 0, self.rows(pid))
-        hashes = kmer_hash_planes_np([rows[:, w] for w in range(self.wk)])
-        hi = (hashes % np.uint32(2 * modulus)) == np.uint32(residue + modulus)
-        lo_rows, hi_rows = rows[~hi], rows[hi]
-        tmp = self._path(pid) + ".tmp"
-        np.ascontiguousarray(lo_rows).tofile(tmp)
-        os.replace(tmp, self._path(pid))
-        self._rows[pid] = int(lo_rows.shape[0])
+        hi_parts = []
+        for host in range(max(self.n_hosts, 1)):
+            p = self._path(pid, host)
+            if not os.path.exists(p):
+                continue
+            rows = np.fromfile(p, dtype=np.uint32).reshape(
+                -1, self.wk + 1
+            )
+            hashes = kmer_hash_planes_np(
+                [rows[:, w] for w in range(self.wk)]
+            )
+            hi = (hashes % np.uint32(2 * modulus)) == np.uint32(
+                residue + modulus
+            )
+            lo_rows = rows[~hi]
+            hi_parts.append(rows[hi])
+            tmp = p + ".tmp"
+            np.ascontiguousarray(lo_rows).tofile(tmp)
+            os.replace(tmp, p)
+            if host == self.host:
+                self._rows[pid] = int(lo_rows.shape[0])
+        hi_rows = (
+            np.concatenate(hi_parts)
+            if hi_parts
+            else np.empty((0, self.wk + 1), np.uint32)
+        )
         np.ascontiguousarray(hi_rows).tofile(self._path(new_pid))
         self._rows[new_pid] = int(hi_rows.shape[0])
         # a split rewrites, it does not grow: budget accounting unchanged

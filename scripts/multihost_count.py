@@ -47,6 +47,11 @@ def main() -> int:
     ap.add_argument("-row-len", dest="row_len", type=int, default=256)
     ap.add_argument("-table-cap", dest="table_cap", type=int, default=1 << 18)
     ap.add_argument("-nb-cores", dest="nb_cores", type=int, default=1)
+    ap.add_argument("-spill-partitions", dest="spill_partitions",
+                    type=int, default=0,
+                    help="> 0: host-partition spill over a SHARED spill "
+                         "dir (next to -out); partitions owned by "
+                         "pid %% n_hosts, counted host-locally")
     ap.add_argument("-selfdestruct-after-groups",
                     dest="selfdestruct", type=int, default=0,
                     help="FAILURE INJECTION (tests): hard-kill this "
@@ -87,6 +92,8 @@ def main() -> int:
         batch_rows=args.batch_rows,
         row_len=args.row_len,
         table_cap=args.table_cap,
+        spill_partitions=args.spill_partitions,
+        spill_dir=os.path.dirname(os.path.abspath(args.out)) or None,
     )
     if args.selfdestruct > 0:
         real_step = engine._step

@@ -210,3 +210,41 @@ def test_eight_process_lockstep(plain_fixture, tmp_path, data_dir):
             a, c = line.split()
             got[int(a)] = int(c)
     assert got == load_histo_fixture(data_dir / "k27.histo")
+
+
+@pytest.mark.slow
+def test_two_process_spill(plain_fixture, tmp_path, data_dir):
+    """Multi-process SPILL: per-host bucket files in a shared dir (the
+    reference's filesystem-as-interconnect stretched across hosts),
+    host-local count of owned partitions, allgather'd histogram —
+    byte-exact vs k27.histo and the per-host partitions union the
+    oracle."""
+    port = _free_port()
+    out = str(tmp_path / "mhsp")
+    procs = [
+        _launch(pid, port, 2, out, plain_fixture,
+                extra=("-spill-partitions", "8"))
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+    got = {}
+    with open(out + ".histo") as f:
+        for line in f:
+            a, c = line.split()
+            got[int(a)] = int(c)
+    assert got == load_histo_fixture(data_dir / "k27.histo")
+
+    from dsk_tpu.kmer import codec
+    from dsk_tpu.oracle import count_bank
+
+    oracle = count_bank(plain_fixture, 27)
+    seen = {}
+    for i in (0, 1):
+        part = np.load(f"{out}.part{i}.npz")
+        for row, c in zip(part["kmers"], part["counts"]):
+            v = codec.words_to_value(row)
+            assert v not in seen  # partition ownership is disjoint
+            seen[v] = int(c)
+    assert seen == {v: c for v, c in oracle.items()}
