@@ -1455,17 +1455,42 @@ class DistCountEngine:
             )
         base = self.spill_dir or cache_dir or tempfile.gettempdir()
         if self.multi_process:
-            # shared dir + a DETERMINISTIC name (every process must
-            # agree); per-pass subdirs keep passes disjoint
-            run_tag = f"dsk_tpu_spill_mp_{self.k}_{self.n_passes}"
+            # shared dir: every process must agree on a name that is
+            # UNIQUE per run — a deterministic name would silently
+            # append to stale bucket files from a crashed prior run
+            # (SpillStore opens "ab").  Process 0's random tag is
+            # broadcast through the device mesh.
+            from jax.experimental import multihost_utils
+
+            seed = np.zeros((2,), np.uint32)
+            if jax.process_index() == 0:
+                seed = np.frombuffer(os.urandom(8), np.uint32).copy()
+            seed = np.asarray(
+                multihost_utils.broadcast_one_to_all(seed)
+            )
+            run_tag = (
+                f"dsk_tpu_spill_mp_{int(seed[0]):08x}{int(seed[1]):08x}"
+            )
         else:
             run_tag = f"dsk_tpu_spill_{uuid.uuid4().hex}"
+
+        # -max-disk covers BOTH the spill store and the multipass batch
+        # cache, which live simultaneously during a pass: spill gets 3/4
+        # and the cache 1/4 (the cache aborts gracefully into re-reads
+        # on overrun; spill overrun is the typed more-passes valve).
+        # The planner sizes n_passes_spill against the same 3/4.
+        spill_budget = (
+            max((max_disk_mb * 3) // 4, 1) if max_disk_mb > 0 else 0
+        )
+        cache_budget = (
+            max(max_disk_mb - spill_budget, 1) if max_disk_mb > 0 else 0
+        )
 
         def run_pass(p, batches):
             spill = SpillStore(
                 os.path.join(base, run_tag, f"pass{p}"),
                 self.WK,
-                max_disk_mb=max_disk_mb,
+                max_disk_mb=spill_budget,
                 host=jax.process_index() if self.multi_process else 0,
                 n_hosts=jax.process_count() if self.multi_process else 1,
             )
@@ -1517,7 +1542,7 @@ class DistCountEngine:
         results = []
         for p, batches in multipass_batches(
             bank, self.k, reader_rows, self.row_len, n_passes,
-            cache_dir, n_workers=n_workers, max_disk_mb=max_disk_mb,
+            cache_dir, n_workers=n_workers, max_disk_mb=cache_budget,
         ):
             if p in done_passes:
                 if p == 0 and len(done_passes) < n_passes:
@@ -1629,16 +1654,23 @@ class DistCountEngine:
         plan, WK = self.plan, self.WK
         n, P_ = plan.n, self.spill_partitions
         Nbuf = planes_dev.shape[1] // n
+        import contextlib
+
+        wire_lock = getattr(self, "_wire_lock", None) or (
+            contextlib.nullcontext()
+        )
         if self.multi_process:
             # each host drains only its own chips' shards (whole-shard
             # fetches — slabbing the local shards is a real-pod perf
             # item; CPU-mesh shards are small)
-            self._drain_spill_group_local(
-                planes_dev, counts_dev, bounds_dev, spill, acc, Nbuf
-            )
+            with wire_lock:
+                self._drain_spill_group_local(
+                    planes_dev, counts_dev, bounds_dev, spill, acc, Nbuf
+                )
             return
         t0 = _time.perf_counter()
-        bounds = np.asarray(bounds_dev)  # (n, P_+1)
+        with wire_lock:  # every drain D2H must serialize with the puts
+            bounds = np.asarray(bounds_dev)  # (n, P_+1)
         dbg(f"drain: bounds in {_time.perf_counter() - t0:.1f}s")
         live = bounds[:, P_]
         m = int(live.max()) if live.size else 0
@@ -1663,11 +1695,6 @@ class DistCountEngine:
         done = 0
         t0 = _time.perf_counter()
         total_mb = 0.0
-        import contextlib
-
-        wire_lock = getattr(self, "_wire_lock", None) or (
-            contextlib.nullcontext()
-        )
         while done < m:
             st = max(min(done, Nbuf - slab), 0)
             with wire_lock:

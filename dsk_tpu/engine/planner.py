@@ -333,18 +333,23 @@ def _wire_rates() -> tuple[float, float]:
     )  # 1 MB
     x = jax.device_put(buf, dev)
     _ = np.asarray(x)  # warmup: settles the reverse channel
-    t0 = time.perf_counter()
-    _ = np.asarray(x)
-    t_d2h = max(time.perf_counter() - t0, 1e-9)
     # device_put is LAZY through the tunnel (CLAUDE.md): a full fetch is
-    # the only compile-free fence, so H2D = round trip minus D2H
-    t0 = time.perf_counter()
-    y = jax.device_put(buf, dev)
-    _ = np.asarray(y)
-    t_round = max(time.perf_counter() - t0, 1e-9)
-    d2h = 1.0 / t_d2h
-    h2d = 1.0 / max(t_round - t_d2h, t_d2h * 0.1)
-    _WIRE_RATES = (d2h, h2d)
+    # the only compile-free fence, so each probe measures ONE ROUND
+    # TRIP of a FRESH array (re-fetching the same jax.Array returns its
+    # cached _npy_value in microseconds and would report a fake memcpy
+    # rate).  The per-direction split is not observable without a
+    # compiled fence, so both rates report the round-trip-halved figure
+    # — the spill cost model only ever uses their SUM (1/d2h + 1/h2d =
+    # bytes * t_round), which this keeps exact.
+    best = float("inf")
+    for _rep in range(2):
+        fresh = buf + np.uint32(_rep + 1)
+        t0 = time.perf_counter()
+        y = jax.device_put(fresh, dev)
+        _ = np.asarray(y)
+        best = min(best, max(time.perf_counter() - t0, 1e-9))
+    half = 2.0 / best  # MB/s at 1 MB payload, per direction
+    _WIRE_RATES = (half, half)
     return _WIRE_RATES
 
 
@@ -487,9 +492,13 @@ def plan_resources(
 
             disk_bytes = sysinfo.auto_limits()["max_disk_mb"] << 20
         # per-pass spill is bounded by the pre-dedup window volume (the
-        # group dedup only shrinks it), so DSK's own pass rule applies
+        # group dedup only shrinks it), so DSK's own pass rule applies.
+        # Spill's share of -max-disk is 3/4: the multipass batch cache
+        # holds the other 1/4 (engine _count_spilled splits the same way)
         spill_bytes = est_windows * rec_bytes
-        n_passes_spill = max(1, -(-spill_bytes // max(disk_bytes, 1)))
+        n_passes_spill = max(
+            1, -(-spill_bytes // max(disk_bytes * 3 // 4, 1))
+        )
         spill_cap = min(budget_slots, MAX_TABLE_SLOTS)
         spill_cap = _round_capacity(spill_cap // 2 + 1)
         per_pass_spill = -(-est_distinct // n_passes_spill)

@@ -261,7 +261,14 @@ def execute(params: RunParams) -> RunOutput:
             n_chips=_engine_n_chips(engine_kind),
             batch_rows=params.batch_rows,
             row_len=params.row_len,
-            spill=params.spill if engine_kind == "dist" else "off",
+            # per-bank runs cannot spill (the record format carries no
+            # bank plane); planning spill shapes for them would hand the
+            # table engine a reduced pass ladder it cannot satisfy
+            spill=(
+                params.spill
+                if engine_kind == "dist" and not need_per_bank
+                else "off"
+            ),
             max_disk_mb=params.max_disk,
         )
     progress.log(

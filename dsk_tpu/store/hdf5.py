@@ -393,10 +393,15 @@ class OutputStore:
         if not runs:
             return
         W = self.nb_words
-        chunk = max(pool_rows // len(runs), 4096)
+        chunk = max(pool_rows // len(runs), 1024)
         pend_k = np.empty((0, W), np.uint32)
         pend_c = np.empty((0,), np.int64)
-        alive = runs
+        # per-run state: [ds, pos, stop, last_read_row, need_fill] —
+        # only runs whose last-read bound sits AT the emit frontier
+        # refill each round (a true k-way merge; refilling every run
+        # each round would grow the carry by ~(n_runs-1)*chunk per
+        # round under key skew and break the documented memory bound)
+        alive = [[ds, pos, stop, None, True] for ds, pos, stop in runs]
 
         def lexsorted(kk, cc):
             order = _lex_order(kk)
@@ -405,30 +410,30 @@ class OutputStore:
         while alive:
             pool_k = [pend_k]
             pool_c = [pend_c]
-            bounds = []
-            nxt = []
+            still = []
             for run in alive:
-                ds, pos, stop = run
-                m = min(chunk, stop - pos)
-                rec = ds[pos : pos + m]
-                run[1] = pos + m
-                pool_k.append(rec["value"])
-                pool_c.append(rec["abundance"].astype(np.int64))
-                if run[1] < stop:
-                    nxt.append(run)
-                    bounds.append(rec["value"][-1])
+                if run[4]:
+                    m = min(chunk, run[2] - run[1])
+                    rec = run[0][run[1] : run[1] + m]
+                    run[1] += m
+                    pool_k.append(rec["value"])
+                    pool_c.append(rec["abundance"].astype(np.int64))
+                    run[3] = rec["value"][-1]
+                    run[4] = False
+                if run[1] < run[2]:
+                    still.append(run)
+                # exhausted runs drop out: their buffered rows are all
+                # in the pool and no longer bound the frontier
             kk, cc = lexsorted(
                 np.concatenate(pool_k), np.concatenate(pool_c)
             )
-            alive = nxt
+            alive = still
             if not alive:
                 if kk.shape[0]:
                     yield kk, cc
                 return
-            b = np.stack(bounds)
-            thr = b[
-                np.lexsort(tuple(b[:, w] for w in range(W - 1, -1, -1)))[0]
-            ]
+            b = np.stack([r[3] for r in alive])
+            thr = b[_lex_order(b)[0]]
             # lexicographic searchsorted(side=right): narrow word by word
             lo, hi = 0, kk.shape[0]
             for w in range(W):
@@ -440,6 +445,10 @@ class OutputStore:
             if hi:
                 yield kk[:hi], cc[:hi]
             pend_k, pend_c = kk[hi:], cc[hi:]
+            thr_t = tuple(int(x) for x in thr)
+            for run in alive:
+                if tuple(int(x) for x in run[3]) <= thr_t:
+                    run[4] = True
 
     def n_solid(self) -> int:
         return sum(ds.shape[0] for ds in self._f["dsk/solid"].values())

@@ -96,7 +96,10 @@ def main() -> int:
         spill_dir=os.path.dirname(os.path.abspath(args.out)) or None,
     )
     if args.selfdestruct > 0:
-        real_step = engine._step
+        # spill engines dispatch _step_spill, table engines _step —
+        # wrap whichever this engine actually calls
+        attr = "_step_spill" if engine.spill else "_step"
+        real_step = getattr(engine, attr)
         calls = [0]
 
         def dying_step(*a):
@@ -107,7 +110,7 @@ def main() -> int:
                 os._exit(13)
             return real_step(*a)
 
-        engine._step = dying_step
+        setattr(engine, attr, dying_step)
     res = engine.count(shard, n_workers=args.nb_cores)
 
     # every host persists its partitions; process 0 merges after a barrier
