@@ -248,3 +248,43 @@ def test_two_process_spill(plain_fixture, tmp_path, data_dir):
             assert v not in seen  # partition ownership is disjoint
             seen[v] = int(c)
     assert seen == {v: c for v, c in oracle.items()}
+
+
+@pytest.mark.slow
+def test_four_process_spill_with_split(plain_fixture, tmp_path, data_dir):
+    """4-process spill with a table cap small enough to force partition
+    SPLITS on some host: rank-strided split ids stay globally unique,
+    ownership stays disjoint, histogram byte-exact."""
+    port = _free_port()
+    out = str(tmp_path / "mh4sp")
+    procs = [
+        _launch(pid, port, 4, out, plain_fixture,
+                extra=("-spill-partitions", "4",
+                       "-table-cap", str(1 << 13)))
+        for pid in range(4)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+    got = {}
+    with open(out + ".histo") as f:
+        for line in f:
+            a, c = line.split()
+            got[int(a)] = int(c)
+    assert got == load_histo_fixture(data_dir / "k27.histo")
+    from dsk_tpu.kmer import codec
+    from dsk_tpu.oracle import count_bank
+
+    oracle = count_bank(plain_fixture, 27)
+    seen = {}
+    all_ids = []
+    for i in range(4):
+        part = np.load(f"{out}.part{i}.npz")
+        all_ids.extend(int(x) for x in part["partition_ids"])
+        for row, c in zip(part["kmers"], part["counts"]):
+            v = codec.words_to_value(row)
+            assert v not in seen
+            seen[v] = int(c)
+    assert len(all_ids) == len(set(all_ids))  # split ids globally unique
+    assert max(all_ids) >= 4  # at least one split actually happened
+    assert seen == {v: c for v, c in oracle.items()}
