@@ -76,14 +76,24 @@ class SpillStore:
     MAX_OPEN = 64
 
     def __init__(self, root: str, wk: int, max_disk_mb: int = 0,
-                 host: int = 0, n_hosts: int = 1):
+                 host: int = 0, n_hosts: int = 1,
+                 hash_words: int | None = None):
         """host/n_hosts: multi-process mode — `root` is a SHARED
         directory (the reference's filesystem-as-interconnect,
         doc/paper.tex:71-76); each process appends only its own
         host-suffixed files, and the count phase reads EVERY host's
-        files for the partitions it owns (read_chunk_all)."""
+        files for the partitions it owns (read_chunk_all).
+
+        hash_words: how many LEADING key words the partition hash
+        covers (default: all wk).  Per-bank records carry the sub-bank
+        id as an extra least-significant key word that must NOT enter
+        the routing hash — every bank's copies of a kmer have to land
+        in one partition so the count phase can group them per kmer
+        (the reference's per-partition CountProcessor chain sees all
+        banks of a kmer together, doc/paper.tex:71-91)."""
         self.root = root
         self.wk = wk
+        self.hash_words = hash_words if hash_words is not None else wk
         self.host = host
         self.n_hosts = n_hosts
         self.rec_bytes = 4 * (wk + 1)
@@ -224,7 +234,7 @@ class SpillStore:
                 -1, self.wk + 1
             )
             hashes = kmer_hash_planes_np(
-                [rows[:, w] for w in range(self.wk)]
+                [rows[:, w] for w in range(self.hash_words)]
             )
             hi = (hashes % np.uint32(2 * modulus)) == np.uint32(
                 residue + modulus

@@ -381,6 +381,7 @@ def plan_resources(
     sample: bool = True,
     spill: str = "auto",
     max_disk_mb: int = 0,
+    per_bank: bool = False,
 ) -> ResourcePlan:
     """batch_rows/row_len == 0: auto-size the batch geometry.  Rows are
     read chunks, so row_len tracks the MEAN READ LENGTH (a fixed 256 for
@@ -484,7 +485,13 @@ def plan_resources(
     use_spill = False
     n_partitions = 0
     if spill == "on" or (spill == "auto" and n_passes > 1):
-        rec_bytes = (W + 1) * 4
+        # per-bank spill records carry the bank id as an extra key word,
+        # and a kmer may occupy one (kmer, bank) row PER BANK — size the
+        # record bytes and the partition count for that worst case (an
+        # under-split partition only costs a modulus-doubling split)
+        nb = max(getattr(bank, "nb_banks", 1), 1) if per_bank else 1
+        rec_bytes = (W + 1 + (1 if per_bank else 0)) * 4
+        est_rows = est_distinct * nb
         if max_disk_mb > 0:
             disk_bytes = max_disk_mb << 20
         else:
@@ -501,7 +508,7 @@ def plan_resources(
         )
         spill_cap = min(budget_slots, MAX_TABLE_SLOTS)
         spill_cap = _round_capacity(spill_cap // 2 + 1)
-        per_pass_spill = -(-est_distinct // n_passes_spill)
+        per_pass_spill = -(-est_rows // n_passes_spill)
         n_partitions = int(
             np.clip(
                 -(-per_pass_spill // int(spill_cap * TABLE_FILL_TARGET)),

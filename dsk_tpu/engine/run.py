@@ -148,7 +148,7 @@ def _select_engine(
             nb = len(params.file.split(","))
             cap = min(cap * max(nb, 2), cap * 8)
         spill_parts = 0
-        if plan.spill and not need_per_bank:
+        if plan.spill:
             spill_parts = params.spill_partitions or plan.n_partitions
         engine = DistCountEngine(
             params.kmer_size,
@@ -261,14 +261,11 @@ def execute(params: RunParams) -> RunOutput:
             n_chips=_engine_n_chips(engine_kind),
             batch_rows=params.batch_rows,
             row_len=params.row_len,
-            # per-bank runs cannot spill (the record format carries no
-            # bank plane); planning spill shapes for them would hand the
-            # table engine a reduced pass ladder it cannot satisfy
-            spill=(
-                params.spill
-                if engine_kind == "dist" and not need_per_bank
-                else "off"
-            ),
+            # per-bank spill records carry the bank id as an extra key
+            # word and a kmer may hold a row per bank: the planner
+            # widens spill record/partition sizing accordingly
+            spill=params.spill if engine_kind == "dist" else "off",
+            per_bank=need_per_bank,
             max_disk_mb=params.max_disk,
         )
     progress.log(

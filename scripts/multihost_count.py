@@ -122,6 +122,9 @@ def main() -> int:
         partition_ids=np.array(ids, np.int32),
         sizes=np.array(res.info["partition_sizes"], np.int64),
         histogram=res.histogram,
+        spill_count_devices=np.int32(
+            res.info.get("spill_count_devices", 0)
+        ),
     )
     multihost_utils.sync_global_devices("dsk_tpu_mh_parts_written")
 
