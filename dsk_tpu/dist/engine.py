@@ -1259,6 +1259,7 @@ class DistCountEngine:
         pass_sink=None,
         pass_sink_per_bank=None,
         resume_state=None,
+        spill_ckpt=None,
     ) -> CountResult:
         """Same driver contract as CountEngine.count (checkpoint hooks,
         batch cache, prefetch).  per_bank requires an engine constructed
@@ -1318,7 +1319,7 @@ class DistCountEngine:
                 done_passes=done_passes, on_pass=on_pass,
                 progress_cb=progress_cb, n_workers=n_workers,
                 max_disk_mb=max_disk_mb, pass_sink=pass_sink,
-                resume_state=resume_state,
+                resume_state=resume_state, spill_ckpt=spill_ckpt,
             )
         from dsk_tpu.io.prefetch import prefetch
 
@@ -1432,7 +1433,7 @@ class DistCountEngine:
     def _count_spilled(
         self, bank, n_passes=1, cache_dir=None, done_passes=None,
         on_pass=None, progress_cb=None, n_workers=1, max_disk_mb=0,
-        pass_sink=None, resume_state=None,
+        pass_sink=None, resume_state=None, spill_ckpt=None,
     ) -> CountResult:
         """Spill-mode pass driver: fill (stream + spill to host
         partition buckets) then count (partition-parallel merge over
@@ -1458,6 +1459,14 @@ class DistCountEngine:
                 "spill mode preserves work at pass granularity, not via "
                 "stream snapshots"
             )
+        # mid-pass resume (VERDICT r4 weak #6): needs a replayable sink
+        # (collect mode cannot reconstruct already-emitted partitions)
+        # and single-process (multi-process keeps pass granularity —
+        # cross-host mark consistency is not worth the coordination)
+        if spill_ckpt is not None and (
+            self.multi_process or pass_sink is None
+        ):
+            spill_ckpt = None
         base = self.spill_dir or cache_dir or tempfile.gettempdir()
         if self.multi_process:
             # shared dir: every process must agree on a name that is
@@ -1492,18 +1501,47 @@ class DistCountEngine:
         )
 
         def run_pass(p, batches):
+            root = (
+                spill_ckpt.pass_dir(p)
+                if spill_ckpt is not None
+                else os.path.join(base, run_tag, f"pass{p}")
+            )
             spill = SpillStore(
-                os.path.join(base, run_tag, f"pass{p}"),
+                root,
                 self.WK,
                 max_disk_mb=spill_budget,
                 host=jax.process_index() if self.multi_process else 0,
                 n_hosts=jax.process_count() if self.multi_process else 1,
                 hash_words=self.W,  # never the bank plane (per-bank mode)
             )
+            ok = False
             try:
-                stats = self._spill_stream(
-                    batches, spill, pass_id=p, progress_cb=progress_cb
+                stats = (
+                    spill_ckpt.fill_done(p)
+                    if spill_ckpt is not None
+                    else None
                 )
+                if stats is not None:
+                    # the fill's bucket files are whole on disk: skip
+                    # the stream entirely — ZERO input re-reads.  (A
+                    # multipass resume still tees pass 0's batches so
+                    # the 2-bit cache serves the later passes.)
+                    spill.restore_rows()
+                    if p == 0 and n_passes > 1:
+                        for _ in batches:
+                            pass
+                else:
+                    if spill_ckpt is not None:
+                        # deterministic dir: a stale partial fill must
+                        # never be appended to (SpillStore opens "ab")
+                        spill.reset()
+                        spill_ckpt.clear_pass(p)
+                    stats = self._spill_stream(
+                        batches, spill, pass_id=p, progress_cb=progress_cb
+                    )
+                    if spill_ckpt is not None:
+                        spill.flush_all()
+                        spill_ckpt.save_fill(p, stats)
                 if self.multi_process:
                     # every host's bucket files must be complete before
                     # any host reads them for its owned partitions
@@ -1514,7 +1552,8 @@ class DistCountEngine:
                         f"dsk_tpu_spill_fill_{p}"
                     )
                 res = self._count_partitions(
-                    spill, p, pass_sink, stats, nb_banks=bank.nb_banks
+                    spill, p, pass_sink, stats, nb_banks=bank.nb_banks,
+                    ckpt=spill_ckpt,
                 )
                 if self.multi_process:
                     from jax.experimental import multihost_utils
@@ -1522,23 +1561,36 @@ class DistCountEngine:
                     multihost_utils.sync_global_devices(
                         f"dsk_tpu_spill_count_{p}"
                     )
+                ok = True
                 return res
             finally:
-                spill.delete()
+                if ok or spill_ckpt is None:
+                    # keep the bucket files + manifest when a
+                    # checkpointed pass DIES mid-way: they ARE the
+                    # resume state
+                    spill.delete()
+                    if spill_ckpt is not None:
+                        spill_ckpt.clear_pass(p)
+                else:
+                    spill.close()
 
         reader_rows = (
             self.local_batch_rows if self.multi_process else self.batch_rows
         )
         if n_passes <= 1:
-            res = run_pass(
-                0,
-                prefetch(
+            if spill_ckpt is not None and spill_ckpt.fill_done(0) is not None:
+                # the fill is durable on disk: never even START the
+                # reader (prefetch spawns an eager thread) — the
+                # resume's zero-input-reads guarantee
+                batches0 = iter(())
+            else:
+                batches0 = prefetch(
                     batch_iterator(
                         bank, self.k, reader_rows, self.row_len,
                         n_workers=n_workers,
                     )
-                ),
-            )
+                )
+            res = run_pass(0, batches0)
             if on_pass is not None:
                 on_pass(0, res)
             return res
@@ -2062,13 +2114,18 @@ class DistCountEngine:
 
     def _count_partitions(
         self, spill, pass_id: int, pass_sink, stats: dict,
-        nb_banks: int = 1,
+        nb_banks: int = 1, ckpt=None,
     ) -> CountResult:
         """Count phase: merge each partition's spilled records into an
         HBM table, n partitions at a time (chip j owns batch[j]).  A
         partition that overflows its table (or wraps the occurrence
         cumsum) is SPLIT locally (hash modulus doubling) and requeued —
-        only that bucket's bytes are re-read, never the input."""
+        only that bucket's bytes are re-read, never the input.
+
+        ckpt (dist/spill.py SpillCheckpoint): a durable mark is written
+        after every counted batch (remaining work queue + split state +
+        running histogram + caller extras), so a crashed run resumes
+        from the last mark instead of recounting the pass."""
         if self.multi_process:
             return self._count_partitions_multiproc(
                 spill, pass_id, pass_sink, stats, nb_banks
@@ -2092,8 +2149,35 @@ class DistCountEngine:
         next_id = P_
         n_distinct = 0
         splits = 0
+        resumed = False
         # (store partition id, hash modulus, residue)
         work = [(pid, P_, pid) for pid in spill.partitions()]
+        if ckpt is not None:
+            state = ckpt.load_count(pass_id)
+            if state is not None:
+                # resume from the last durable mark: already-counted
+                # partitions are absent from the restored work queue
+                # (their rows are in the caller's store — run.py
+                # truncates it to the mark's recorded sizes)
+                work = list(state["work"])
+                next_id = state["next_id"]
+                splits = state["splits"]
+                n_distinct = state["n_distinct"]
+                sizes = dict(state["sizes"])
+                hist[:] = state["hist"]
+                sp = state.get("splitting")
+                if sp is not None:
+                    # the crash hit between the split-INTENT mark and
+                    # its completion mark: redo the split (idempotent
+                    # at every crash point — SpillStore.split) and
+                    # enqueue the children the intent recorded
+                    pid0, m0, r0, nid0 = sp
+                    spill.split(pid0, m0, r0, nid0)
+                    work = work + [
+                        (pid0, 2 * m0, r0),
+                        (nid0, 2 * m0, r0 + m0),
+                    ]
+                resumed = True
         from concurrent.futures import ThreadPoolExecutor
 
         # sliced parallel puts (single-chip only): one monolithic ~100 MB
@@ -2180,8 +2264,25 @@ class DistCountEngine:
                 p: (kk, cc)
                 for p, kk, cc in self.iter_partitions(tab_p, tab_c)
             }
+            def mark_state(rest, splitting=None):
+                """Durable progress snapshot: remaining work = the
+                batch's unprocessed tail + the queue.  A crash replays
+                from the last mark — run.py truncates the store to the
+                mark's recorded sizes, so replays never duplicate
+                rows."""
+                return {
+                    "work": list(rest) + work,
+                    "next_id": next_id,
+                    "splits": splits,
+                    "n_distinct": n_distinct,
+                    "sizes": sizes,
+                    "hist": hist,
+                    "splitting": splitting,
+                }
+
             for j, e in enumerate(batch):
                 pid, modulus, residue = e
+                rest = batch[j + 1:]
                 if flags[j]:
                     if modulus >= (1 << 24):
                         raise TableOverflow(
@@ -2189,15 +2290,32 @@ class DistCountEngine:
                             f"{cap}-slot tables even after "
                             f"{modulus // P_}x splitting"
                         )
-                    spill.split(pid, modulus, residue, next_id)
-                    work.append((pid, 2 * modulus, residue))
-                    work.append((next_id, 2 * modulus, residue + modulus))
+                    nid = next_id
                     next_id += 1
                     splits += 1
+                    if ckpt is not None:
+                        # INTENT mark before the files move: a crash
+                        # mid-split resumes by REDOING the (idempotent)
+                        # split — without it the half-moved parent would
+                        # merge clean and orphan the hi-side child
+                        ckpt.mark(
+                            pass_id,
+                            mark_state(
+                                rest,
+                                splitting=(pid, modulus, residue, nid),
+                            ),
+                        )
+                    spill.split(pid, modulus, residue, nid)
+                    work.append((pid, 2 * modulus, residue))
+                    work.append((nid, 2 * modulus, residue + modulus))
+                    if ckpt is not None:
+                        ckpt.mark(pass_id, mark_state(rest))
                     continue
                 kk, cc = parts.get(j, (None, None))
                 if kk is None or kk.shape[0] == 0:
                     sizes[pid] = 0
+                    if ckpt is not None:
+                        ckpt.mark(pass_id, mark_state(rest))
                     continue
                 n_p = self._spill_emit_partition(
                     pass_id, pid, kk, cc, pass_sink, hist,
@@ -2205,6 +2323,8 @@ class DistCountEngine:
                 )
                 n_distinct += n_p
                 sizes[pid] = n_p
+                if ckpt is not None:
+                    ckpt.mark(pass_id, mark_state(rest))
         finally:
             putter.shutdown(wait=True, cancel_futures=True)
         info = dict(stats)
@@ -2215,6 +2335,7 @@ class DistCountEngine:
                 "spill": True,
                 "spill_partitions": P_,
                 "spill_splits": splits,
+                "spill_resumed": resumed,
                 "partition_sizes": sizes,
                 "n_distinct_device": n_distinct,
                 "t_count_phase": round(_time.perf_counter() - t0, 3),

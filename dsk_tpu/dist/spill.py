@@ -220,12 +220,22 @@ class SpillStore:
         Multi-process: the OWNER host splits every host's file of pid in
         place (exclusive ownership — fill is complete before counting
         starts, so no concurrent writers) and collects the hi halves
-        into its own new_pid file."""
+        into its own new_pid file.
+
+        Crash safety (the mid-pass resume path re-runs an interrupted
+        split): the hi child is written via tmp+rename BEFORE the parent
+        is replaced, so a crash leaves either (a) the parent intact —
+        redo recomputes everything, (b) the parent intact + hi written —
+        redo overwrites hi with identical bytes, or (c) both renamed —
+        detected below (parent holds no hi-side rows while the hi file
+        has content) and left untouched.  Single-parent-file (one host)
+        analysis; multi-process runs never re-run a split."""
         self._flush(pid)
         h = self._open.pop(pid, None)
         if h is not None:
             h.close()
         hi_parts = []
+        lo_files = []  # (path, lo_rows) — parent rewrites deferred
         for host in range(max(self.n_hosts, 1)):
             p = self._path(pid, host)
             if not os.path.exists(p):
@@ -239,21 +249,77 @@ class SpillStore:
             hi = (hashes % np.uint32(2 * modulus)) == np.uint32(
                 residue + modulus
             )
-            lo_rows = rows[~hi]
             hi_parts.append(rows[hi])
-            tmp = p + ".tmp"
-            np.ascontiguousarray(lo_rows).tofile(tmp)
-            os.replace(tmp, p)
-            if host == self.host:
-                self._rows[pid] = int(lo_rows.shape[0])
+            lo_files.append((host, p, rows[~hi]))
         hi_rows = (
             np.concatenate(hi_parts)
             if hi_parts
             else np.empty((0, self.wk + 1), np.uint32)
         )
-        np.ascontiguousarray(hi_rows).tofile(self._path(new_pid))
+        hi_path = self._path(new_pid)
+        if (
+            hi_rows.shape[0] == 0
+            and os.path.exists(hi_path)
+            and os.path.getsize(hi_path) > 0
+        ):
+            # case (c): this split already completed before a crash —
+            # the parent holds only lo rows and the child file is live.
+            # Redoing it would overwrite the child with nothing.
+            self._rows[new_pid] = (
+                os.path.getsize(hi_path) // self.rec_bytes
+            )
+            for host, p, lo_rows in lo_files:
+                if host == self.host:
+                    self._rows[pid] = int(lo_rows.shape[0])
+            return
+        tmp = hi_path + ".tmp"
+        np.ascontiguousarray(hi_rows).tofile(tmp)
+        os.replace(tmp, hi_path)
         self._rows[new_pid] = int(hi_rows.shape[0])
+        for host, p, lo_rows in lo_files:
+            tmp = p + ".tmp"
+            np.ascontiguousarray(lo_rows).tofile(tmp)
+            os.replace(tmp, p)
+            if host == self.host:
+                self._rows[pid] = int(lo_rows.shape[0])
         # a split rewrites, it does not grow: budget accounting unchanged
+
+    # -- resume support (mid-pass spill checkpoint) ----------------------
+
+    def flush_all(self) -> None:
+        """Flush every open append handle (before recording a durable
+        fill manifest)."""
+        for h in self._open.values():
+            h.flush()
+
+    def restore_rows(self) -> None:
+        """Rebuild the row index from the bucket files on disk — the
+        resume path's replacement for the in-memory accounting of the
+        crashed process.  Only THIS host's files are indexed (matching
+        what append() would have recorded)."""
+        self._rows.clear()
+        self.bytes_written = 0
+        suffix = f"_h{self.host:03d}.bin"
+        for fn in os.listdir(self.root):
+            if not (fn.startswith("part_") and fn.endswith(suffix)):
+                continue
+            pid = int(fn[len("part_"):len("part_") + 5])
+            size = os.path.getsize(os.path.join(self.root, fn))
+            self._rows[pid] = size // self.rec_bytes
+            self.bytes_written += size
+
+    def reset(self) -> None:
+        """Delete every bucket file (a stale partial fill found at a
+        deterministic checkpoint dir must never be appended to —
+        SpillStore opens 'ab')."""
+        self.close()
+        for fn in os.listdir(self.root):
+            if fn.startswith("part_") and (
+                fn.endswith(".bin") or fn.endswith(".tmp")
+            ):
+                os.unlink(os.path.join(self.root, fn))
+        self._rows.clear()
+        self.bytes_written = 0
 
     def close(self) -> None:
         for h in self._open.values():
@@ -261,14 +327,192 @@ class SpillStore:
         self._open.clear()
 
     def delete(self) -> None:
-        self.close()
-        for pid in list(self._rows):
-            p = self._path(pid)
-            if os.path.exists(p):
-                os.unlink(p)
-        self._rows.clear()
-        self.bytes_written = 0
+        if os.path.isdir(self.root):
+            self.reset()  # directory scan: catches .tmp leftovers too
+        else:
+            self.close()
+            self._rows.clear()
+            self.bytes_written = 0
         try:
             os.rmdir(self.root)
         except OSError:
             pass
+
+
+class SpillCheckpoint:
+    """Mid-pass durable state for spill runs (VERDICT r4 weak #6 /
+    next-item 3): the fill's bucket files are already on disk, so a
+    crash mid-count must not re-stream the input — the reference never
+    re-reads counted partitions (doc/paper.tex:71-76), and the table
+    engine already resumes at snapshot granularity; this closes the gap
+    for the mode built for the LONGEST runs.
+
+    Layout under `root` (single-process runs only — multi-process spill
+    keeps pass-granular recovery):
+
+      pass<p>/            the SpillStore bucket dir (deterministic name)
+      fill_p<p>.json      fill manifest: fingerprint + stream stats —
+                          written once the fill phase is complete, so
+                          its presence == "bucket files are whole"
+      count_p<p>.npz      count progress mark (atomic tmp+rename):
+                          remaining work queue, counted sizes, split
+                          state, running histogram, plus caller extras
+                          (store sizes / n_solid / histo2D partials via
+                          the collect_extra callback)
+
+    A fingerprint mismatch (input / k / pass count / engine shape
+    changed) invalidates everything silently — the run starts fresh."""
+
+    def __init__(self, root: str, fingerprint: str):
+        self.root = root
+        self.fingerprint = fingerprint
+        self.collect_extra = None  # callable -> {name: np.ndarray|int}
+        os.makedirs(root, exist_ok=True)
+
+    def pass_dir(self, p: int) -> str:
+        return os.path.join(self.root, f"pass{p}")
+
+    def _fill_path(self, p: int) -> str:
+        return os.path.join(self.root, f"fill_p{p}.json")
+
+    def _count_path(self, p: int) -> str:
+        return os.path.join(self.root, f"count_p{p}.npz")
+
+    def fill_done(self, p: int) -> dict | None:
+        """The completed fill's stream stats, or None (absent / stale /
+        fingerprint mismatch)."""
+        import json
+
+        try:
+            with open(self._fill_path(p)) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if doc.get("fingerprint") != self.fingerprint:
+            return None
+        return doc.get("stats")
+
+    def save_fill(self, p: int, stats: dict) -> None:
+        import json
+
+        tmp = self._fill_path(p) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"fingerprint": self.fingerprint, "stats": stats}, f
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._fill_path(p))
+
+    def mark(self, p: int, state: dict) -> None:
+        """Persist one count-progress mark.  state: work (list of
+        (pid, modulus, residue)), next_id, splits, n_distinct,
+        sizes ({pid: n}), hist (np array), and optionally
+        "splitting" = (pid, modulus, residue, new_pid) — the INTENT
+        mark written before a partition split touches disk.  A resume
+        that finds it simply re-runs the split (SpillStore.split is
+        idempotent across every crash point) and enqueues the children;
+        without the intent record, a crash mid-split would leave a
+        half-moved partition whose re-merge no longer overflows —
+        silently orphaning the hi-side child."""
+        payload = {
+            "work": np.asarray(
+                state["work"] or np.empty((0, 3)), np.int64
+            ).reshape(-1, 3),
+            "next_id": np.int64(state["next_id"]),
+            "splits": np.int64(state["splits"]),
+            "n_distinct": np.int64(state["n_distinct"]),
+            "sizes_pid": np.asarray(list(state["sizes"]), np.int64),
+            "sizes_n": np.asarray(
+                [state["sizes"][k] for k in state["sizes"]], np.int64
+            ),
+            "hist": state["hist"],
+        }
+        if state.get("splitting") is not None:
+            payload["splitting"] = np.asarray(
+                state["splitting"], np.int64
+            )
+        if self.collect_extra is not None:
+            for k, v in self.collect_extra().items():
+                payload["x_" + k] = np.asarray(v)
+        tmp = self._count_path(p) + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._count_path(p))
+
+    def load_count(self, p: int) -> dict | None:
+        """The latest count mark (requires a valid fill manifest — the
+        mark's work queue refers to the fill's bucket files)."""
+        if self.fill_done(p) is None:
+            return None
+        try:
+            with np.load(self._count_path(p)) as z:
+                out = {
+                    "work": [tuple(int(x) for x in row) for row in z["work"]],
+                    "next_id": int(z["next_id"]),
+                    "splits": int(z["splits"]),
+                    "n_distinct": int(z["n_distinct"]),
+                    "sizes": {
+                        int(a): int(b)
+                        for a, b in zip(z["sizes_pid"], z["sizes_n"])
+                    },
+                    "hist": z["hist"].copy(),
+                }
+                if "splitting" in z.files:
+                    out["splitting"] = tuple(
+                        int(x) for x in z["splitting"]
+                    )
+                out["extra"] = {
+                    k[2:]: z[k].copy() for k in z.files if k.startswith("x_")
+                }
+        except (OSError, ValueError, KeyError):
+            return None
+        return out
+
+    def latest_extra(self) -> dict | None:
+        """The highest-pass count mark's caller extras (store sizes are
+        cumulative across passes, so the latest mark aligns the store)."""
+        best = None
+        for fn in os.listdir(self.root):
+            if fn.startswith("count_p") and fn.endswith(".npz"):
+                best = max(best or -1, int(fn[len("count_p"):-4]))
+        if best is None:
+            return None
+        st = self.load_count(best)
+        return st["extra"] if st is not None else None
+
+    def clear_pass(self, p: int) -> None:
+        for path in (self._fill_path(p), self._count_path(p)):
+            if os.path.exists(path):
+                os.unlink(path)
+
+    def clear_counts(self) -> None:
+        """Drop every count-progress mark (the caller's store no longer
+        matches their recorded sizes); the fill manifests are kept ONLY
+        for passes whose count never split a partition — splits rewrite
+        bucket files in place, and a from-scratch count over mutated
+        buckets would reconstruct wrong (modulus, residue) lineage for
+        the split children.  Pristine fills restart the count with zero
+        input re-reads; mutated ones refill."""
+        for fn in list(os.listdir(self.root)):
+            if not (fn.startswith("count_p") and fn.endswith(".npz")):
+                continue
+            path = os.path.join(self.root, fn)
+            try:
+                with np.load(path) as z:
+                    had_split = int(z["splits"]) > 0
+            except (OSError, ValueError, KeyError):
+                had_split = True  # unreadable mark: assume mutation
+            os.unlink(path)
+            if had_split:
+                p = int(fn[len("count_p"):-4])
+                fill = self._fill_path(p)
+                if os.path.exists(fill):
+                    os.unlink(fill)
+
+    def remove(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)

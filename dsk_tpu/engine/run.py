@@ -385,6 +385,24 @@ def execute(params: RunParams) -> RunOutput:
         ckpt = None
         done_passes = None
         on_pass = None
+        # mid-pass spill checkpoint (VERDICT r4 weak #6): the fill's
+        # bucket files are durable, so a crashed spill run resumes from
+        # the last counted batch with ZERO input re-reads.  The
+        # fingerprint covers n_passes, so a pass-doubling retry
+        # invalidates stale state automatically.
+        sckpt = None
+        if (
+            getattr(engine, "spill", False)
+            and params.checkpoint
+            and not getattr(engine, "multi_process", False)
+        ):
+            from dsk_tpu.dist.spill import SpillCheckpoint
+            from dsk_tpu.engine.checkpoint import _fingerprint
+
+            sckpt = SpillCheckpoint(
+                prefix_early + ".spillckpt",
+                _fingerprint(params, n_passes),
+            )
         if n_passes > 1 and params.checkpoint:
             from dsk_tpu.engine.checkpoint import PassCheckpoint
 
@@ -404,11 +422,41 @@ def execute(params: RunParams) -> RunOutput:
             os.makedirs(
                 os.path.dirname(os.path.abspath(h5_path)), exist_ok=True
             )
+            # mid-pass spill resume: the latest count mark's recorded
+            # store sizes are CUMULATIVE (done passes' rows are a
+            # prefix), so aligning to the mark preserves the crashed
+            # pass's already-counted partitions — the engine's restored
+            # work queue skips exactly those
+            spill_aligned = False
+            if (
+                store is None
+                and sckpt is not None
+                and params.resume
+                and os.path.exists(h5_path)
+            ):
+                extra = sckpt.latest_extra()
+                if extra is not None and "store_pids" in extra:
+                    store = OutputStore(h5_path, "a")
+                    store._compress = params.out_compress
+                    store.truncate_partitions(
+                        {
+                            int(a): int(b)
+                            for a, b in zip(
+                                extra["store_pids"], extra["store_sizes"]
+                            )
+                        }
+                    )
+                    n_solid_stream = int(extra["n_solid"])
+                    if "histo2d" in extra:
+                        histo2d_mat[:] = extra["histo2d"]
+                    spill_aligned = True
             # resume: the STORE holds the done passes' partition rows
             # (the sink wrote them); reopen in append mode and drop any
             # partial writes of the crashed pass (recorded sizes are
             # from the last COMPLETED pass's checkpoint metadata)
-            if store is not None:
+            if spill_aligned:
+                pass  # store already aligned to the spill mark
+            elif store is not None:
                 # preserved OPEN across a work-preserving retry: the
                 # sink writes only at pass end, so it holds exactly the
                 # completed passes' rows; truncate to the checkpointed
@@ -440,12 +488,20 @@ def execute(params: RunParams) -> RunOutput:
                     done_passes = None
             elif done_passes:
                 done_passes = None  # no store on disk: nothing to resume
+            if not spill_aligned and sckpt is not None and store is not None:
+                # the store was aligned to PASS boundaries (above), which
+                # may sit below a mid-pass mark's recorded sizes: those
+                # marks would skip partitions whose rows are now gone.
+                # Drop the marks (fills stay valid — zero re-streams).
+                sckpt.clear_counts()
             if store is None:
                 store = OutputStore.create(
                     h5_path, k, compress=params.out_compress
                 )
                 n_solid_stream = 0
                 histo2d_mat[:] = 0  # store restarted: drop partial sums
+                if sckpt is not None:
+                    sckpt.clear_counts()  # marks refer to dropped rows
 
             kind = (
                 params.solidity_kind
@@ -478,6 +534,25 @@ def execute(params: RunParams) -> RunOutput:
                     )
                     store.append_solid_partition(pid, kk[m], cc[m])
                     n_solid_stream += int(m.sum())
+
+            if sckpt is not None:
+                # each spill count mark snapshots the store state so a
+                # resume can truncate partial writes past the mark
+                def _spill_extra():
+                    store._f.flush()
+                    szs = store.partition_sizes()
+                    extra = {
+                        "n_solid": n_solid_stream,
+                        "store_pids": np.array(sorted(szs), np.int64),
+                        "store_sizes": np.array(
+                            [szs[i] for i in sorted(szs)], np.int64
+                        ),
+                    }
+                    if need_per_bank and params.histo2d:
+                        extra["histo2d"] = histo2d_mat.copy()
+                    return extra
+
+                sckpt.collect_extra = _spill_extra
 
         if ckpt is not None:
 
@@ -513,6 +588,8 @@ def execute(params: RunParams) -> RunOutput:
                 ] = pass_sink
             if resume_snapshot is not None:
                 count_kwargs["resume_state"] = resume_snapshot
+            if sckpt is not None:
+                count_kwargs["spill_ckpt"] = sckpt
         try:
             with timers.phase("count"):
                 if params.trace_dir:
@@ -625,6 +702,8 @@ def execute(params: RunParams) -> RunOutput:
             )
     if ckpt is not None:
         ckpt.remove()
+    if sckpt is not None:
+        sckpt.remove()
 
     if stream_out:
         solid_mask = None
