@@ -159,40 +159,62 @@ def main() -> None:
     # on real hardware) has "weather" — the same cached program measured
     # 2-20x apart within an hour (PERF.md) — so a single sample
     # benchmarks the window, not the pipeline.
-    elapsed = float("inf")
-    runs = []
     # exc wire format (io/packed.py): 2-bit code words + 2(1+E) B/row
     # meta + 4 B/row bank ids ~= 2.30 bits/base at row_len 1024
     from dsk_tpu.io.packed import EXC_E
 
     wire_bits_per_base = 2 + (2 * (1 + EXC_E) + 4) * 8 / row_len
     wire_mb = total_bases * wire_bits_per_base / 8 / (1 << 20)
-    for run in range(3):
-        t0 = time.perf_counter()
-        res = engine.count_stream(iter(batches), finalize=False)
-        runs.append(round(time.perf_counter() - t0, 3))
-        elapsed = min(elapsed, runs[-1])
-    # dead-window retry (CLAUDE.md tunnel-weather protocol): the tunnel
-    # has hour-long windows at 0.1-5 MB/s in which a wire-inclusive
-    # number measures the harness, not the pipeline.  If the best run's
-    # implied H2D rate is below 10 MB/s (healthy multiplexed ceiling is
-    # ~22), wait the window out — up to 4 x 2.5 min (a truly dead window
-    # measured 0.38 Mbases/s = 26x under the healthy number, so a bad
-    # sample here misstates the result far more than 10 extra minutes).
+
+    # tunnel-weather protocol (CLAUDE.md + VERDICT r4 weak #1): the
+    # tunnel has DEAD windows (0.1-5 MB/s for an hour) AND *degrading*
+    # windows — BENCH_r04's stream section measured 2.46 -> 3.50 ->
+    # 4.59 s run-over-run, under-reporting the chip ~30%.  A section is
+    # CONSISTENT only when (a) the implied H2D rate clears 10 MB/s
+    # (healthy multiplexed ceiling ~22) and (b) the runs are not
+    # monotonically decaying by > 25%.  Inconsistent sections are
+    # re-run after a wait, up to 4 times; the reported value is the
+    # best run of the best consistent section (all sections + the retry
+    # count land in detail for the record).
+    res = None
+
+    def stream_section(n_runs):
+        nonlocal res
+        sec = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            res = engine.count_stream(iter(batches), finalize=False)
+            sec.append(round(time.perf_counter() - t0, 3))
+        return sec
+
+    def section_ok(sec):
+        if wire_mb / min(sec) < 10.0:
+            return False  # dead window
+        decaying = all(b > a for a, b in zip(sec, sec[1:]))
+        return not (decaying and sec[-1] > sec[0] * 1.25)
+
+    sections = [stream_section(3)]
+    stream_retries = 0
     for retry in range(0 if smoke else 4):
-        if wire_mb / elapsed >= 10.0:
+        if section_ok(sections[-1]):
             break
+        stream_retries += 1
+        kind = (
+            "dead"
+            if wire_mb / min(sections[-1]) < 10.0
+            else "degrading"
+        )
         print(
-            f"[bench] dead tunnel window ({wire_mb / elapsed:.1f} MB/s "
-            f"implied), retry {retry + 1}/4 in 150s",
+            f"[bench] {kind} tunnel window (runs {sections[-1]}, "
+            f"{wire_mb / min(sections[-1]):.1f} MB/s implied), "
+            f"retry {retry + 1}/4 in 150s",
             file=sys.stderr,
         )
         time.sleep(150)
-        for run in range(2):
-            t0 = time.perf_counter()
-            res = engine.count_stream(iter(batches), finalize=False)
-            runs.append(round(time.perf_counter() - t0, 3))
-            elapsed = min(elapsed, runs[-1])
+        sections.append(stream_section(3))
+    good = [s for s in sections if section_ok(s)] or sections
+    elapsed = min(min(s) for s in good)
+    runs = [t for s in sections for t in s]
     n_distinct = int(res.info["n_distinct_device"])
 
     # device ceiling: fenced step reps on device-resident groups — the
@@ -363,6 +385,10 @@ def main() -> None:
             "total_bases": total_bases,
             "elapsed_s": round(elapsed, 3),
             "stream_runs_s": runs,
+            # weather-protocol record: every section's runs + how many
+            # re-runs the dead/degrading-window detector spent
+            "stream_sections_s": sections,
+            "stream_retries": stream_retries,
             # tunnel wire diagnostic: exc-packed payload is ~2.3
             # bits/base; when this is << 20 MB/s the streamed value
             # measured the tunnel's weather, not the pipeline (PERF.md)
