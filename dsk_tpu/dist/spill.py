@@ -309,15 +309,23 @@ class SpillStore:
             self.bytes_written += size
 
     def reset(self) -> None:
-        """Delete every bucket file (a stale partial fill found at a
-        deterministic checkpoint dir must never be appended to —
-        SpillStore opens 'ab')."""
+        """Delete THIS HOST's bucket files (a stale partial fill found
+        at a deterministic checkpoint dir must never be appended to —
+        SpillStore opens 'ab').  Only own-host files: the spill dir is
+        SHARED across processes, and unlinking a peer's files races
+        with the peer's own cleanup (a round-5 regression caught by the
+        2-process per-bank test: both hosts scanning the shared dir
+        threw FileNotFoundError mid-teardown)."""
         self.close()
+        mine = f"_h{self.host:03d}.bin"
         for fn in os.listdir(self.root):
             if fn.startswith("part_") and (
-                fn.endswith(".bin") or fn.endswith(".tmp")
+                fn.endswith(mine) or fn.endswith(mine + ".tmp")
             ):
-                os.unlink(os.path.join(self.root, fn))
+                try:
+                    os.unlink(os.path.join(self.root, fn))
+                except FileNotFoundError:
+                    pass  # peer cleanup race on a shared dir
         self._rows.clear()
         self.bytes_written = 0
 

@@ -52,6 +52,13 @@ def main() -> int:
                     help="> 0: host-partition spill over a SHARED spill "
                          "dir (next to -out); partitions owned by "
                          "pid %% n_hosts, counted host-locally")
+    ap.add_argument("-per-bank", dest="per_bank", action="store_true",
+                    help="per-bank counting over the spill path (round "
+                         "5): each host's partitions arrive GROUPED per "
+                         "kmer with a bank matrix; requires "
+                         "-spill-partitions > 0.  Outputs .part<i>.npz "
+                         "with a `banks` matrix + the global .histo "
+                         "(no merged .h5)")
     ap.add_argument("-selfdestruct-after-groups",
                     dest="selfdestruct", type=int, default=0,
                     help="FAILURE INJECTION (tests): hard-kill this "
@@ -86,12 +93,17 @@ def main() -> int:
           f"{[(os.path.basename(u.path), u.start, u.end) for u in shard.units]}",
           file=sys.stderr, flush=True)
 
+    if args.per_bank and args.spill_partitions <= 0:
+        print("[mh] -per-bank needs -spill-partitions > 0",
+              file=sys.stderr)
+        return 2
     engine = DistCountEngine(
         args.kmer_size,
         mesh=default_mesh(),
         batch_rows=args.batch_rows,
         row_len=args.row_len,
         table_cap=args.table_cap,
+        per_bank=args.per_bank,
         spill_partitions=args.spill_partitions,
         spill_dir=os.path.dirname(os.path.abspath(args.out)) or None,
     )
@@ -111,24 +123,64 @@ def main() -> int:
             return real_step(*a)
 
         setattr(engine, attr, dying_step)
-    res = engine.count(shard, n_workers=args.nb_cores)
+    if args.per_bank:
+        # per-bank spill: the sink receives each owned partition
+        # GROUPED per kmer (total + bank matrix), in the same order the
+        # engine records partition_ids/sizes (one critical section)
+        acc = {"k": [], "t": [], "b": []}
+
+        def pb_sink(p, part_id, kk, tot, bmat):
+            acc["k"].append(kk)
+            acc["t"].append(tot)
+            acc["b"].append(bmat)
+
+        res = engine.count(
+            shard, per_bank=True, pass_sink_per_bank=pb_sink,
+            n_workers=args.nb_cores,
+        )
+        nb = shard.nb_banks
+        kmers = (
+            np.concatenate(acc["k"])
+            if acc["k"] else np.empty((0, engine.W), np.uint32)
+        )
+        counts = (
+            np.concatenate(acc["t"])
+            if acc["t"] else np.empty((0,), np.int64)
+        )
+        banks = (
+            np.concatenate(acc["b"])
+            if acc["b"] else np.zeros((0, nb), np.int64)
+        )
+    else:
+        res = engine.count(shard, n_workers=args.nb_cores)
+        kmers, counts, banks = res.kmers, res.counts, None
 
     # every host persists its partitions; process 0 merges after a barrier
     ids = res.info.get("partition_ids", engine.local_partition_ids)
+    extra = {"banks": banks} if banks is not None else {}
     np.savez(
         f"{args.out}.part{pid}.npz",
-        kmers=res.kmers,
-        counts=res.counts,
+        kmers=kmers,
+        counts=counts,
         partition_ids=np.array(ids, np.int32),
         sizes=np.array(res.info["partition_sizes"], np.int64),
         histogram=res.histogram,
         spill_count_devices=np.int32(
             res.info.get("spill_count_devices", 0)
         ),
+        **extra,
     )
     multihost_utils.sync_global_devices("dsk_tpu_mh_parts_written")
 
-    if pid == 0:
+    if pid == 0 and args.per_bank:
+        # per-bank mode: partitions live in the npz files (grouped
+        # kmer + bank matrix); the global histogram is the shared
+        # text artifact
+        with open(args.out + ".histo", "w") as f:
+            store_text.write_histo(res.histogram, f)
+        print(f"[mh 0] wrote {args.out}.histo (per-bank)",
+              file=sys.stderr, flush=True)
+    elif pid == 0:
         parts = []
         for i in range(jax.process_count()):
             parts.append(np.load(f"{args.out}.part{i}.npz"))

@@ -346,6 +346,52 @@ def test_two_process_spill_chip_parallel(plain_fixture, tmp_path, data_dir):
 
 
 @pytest.mark.slow
+def test_two_process_per_bank_spill(plain_fixture, tmp_path, data_dir):
+    """Per-bank SPILL across processes (round 5): two plain banks
+    byte-range-sharded over 2 hosts; every host's owned partitions
+    arrive grouped per kmer with a bank matrix; the union reproduces
+    the per-bank oracle exactly (bank ids survive sharding + spill +
+    split-free count)."""
+    import shutil
+
+    b2 = str(tmp_path / "bank2.fasta")
+    shutil.copy(plain_fixture, b2)
+    files = f"{plain_fixture},{b2}"
+    port = _free_port()
+    out = str(tmp_path / "mhpb")
+    procs = [
+        _launch(pid, port, 2, out, files,
+                extra=("-spill-partitions", "8", "-per-bank"))
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+
+    from dsk_tpu.kmer import codec
+    from dsk_tpu.oracle import count_bank_per_bank
+
+    want = {
+        v: tuple(int(x) for x in vec)
+        for v, vec in count_bank_per_bank(files, 27).items()
+    }
+    seen = {}
+    for i in (0, 1):
+        part = np.load(f"{out}.part{i}.npz")
+        assert part["banks"].shape[1] == 2
+        np.testing.assert_array_equal(
+            part["banks"].sum(axis=1), part["counts"]
+        )
+        for row, vec in zip(part["kmers"], part["banks"]):
+            v = codec.words_to_value(row)
+            assert v not in seen  # ownership disjoint, grouping complete
+            seen[v] = tuple(int(x) for x in vec)
+    assert seen == want
+    # identical banks: the per-bank vector must be symmetric
+    assert all(a == b for a, b in seen.values())
+
+
+@pytest.mark.slow
 def test_four_process_spill_with_split(plain_fixture, tmp_path, data_dir):
     """4-process spill with a table cap small enough to force partition
     SPLITS on some host: rank-strided split ids stay globally unique,
