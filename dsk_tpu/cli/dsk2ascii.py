@@ -62,12 +62,18 @@ def _segment_worker(task) -> int:
         store.close()
 
 
-def _dump_sorted_parallel(path, store, out, n_workers: int) -> int | None:
+def _dump_sorted_parallel(
+    path, store, out, n_workers: int, tmp_dir: str | None = None
+) -> int | None:
     """Range-sharded parallel sorted dump: split the key space into
     n_workers segments (run-map quantiles), merge + format each in its
     own process, stream the segment files to `out` in order.  Returns
     the row count, or None when the store has no run map (caller falls
-    back to the serial external sort)."""
+    back to the serial external sort).
+
+    tmp_dir stages the full formatted text (~rows x (k+8) bytes): at
+    flagship scale that is ~100 GB, so it defaults to the OUTPUT's
+    directory (same filesystem), never a possibly-tmpfs /tmp."""
     import shutil
     import tempfile
     from concurrent.futures import ProcessPoolExecutor
@@ -77,7 +83,7 @@ def _dump_sorted_parallel(path, store, out, n_workers: int) -> int | None:
         plan = store.sorted_segment_plan(n_workers)
     except ValueError:
         return None
-    work = tempfile.mkdtemp(prefix="dsk2ascii_par_")
+    work = tempfile.mkdtemp(prefix="dsk2ascii_par_", dir=tmp_dir)
     try:
         tasks = [
             (path, f"{work}/seg_{i:03d}.txt", seg, 1 << 22)
@@ -116,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nb-cores", dest="nb_cores", type=int, default=0,
                    help="parallel workers for the -sorted dump "
                         "(0 = auto; 1 = serial)")
+    p.add_argument("-out-tmp", dest="out_tmp", default=None,
+                   help="staging dir for the -sorted dump's segment / "
+                        "external-sort files (default: next to -out — "
+                        "they can reach the full dump size)")
     p.add_argument("-verbose", type=int, default=1)
     return p
 
@@ -162,12 +172,17 @@ def main(argv: list[str] | None = None) -> int:
                 workers = args.nb_cores
                 if workers <= 0:
                     workers = min(os.cpu_count() or 1, 8)
+                tmp_dir = args.out_tmp or (
+                    os.path.dirname(os.path.abspath(args.out))
+                    if args.out and not args.stdout
+                    else None
+                )
                 if (
                     workers > 1
                     and store.n_solid() >= _PARALLEL_MIN_ROWS
                 ):
                     n = _dump_sorted_parallel(
-                        args.file, store, f, workers
+                        args.file, store, f, workers, tmp_dir=tmp_dir
                     )
                     if n is not None:
                         return n
@@ -175,7 +190,10 @@ def main(argv: list[str] | None = None) -> int:
                     return write_sorted(f, store.iter_sorted_rows())
                 except ValueError:
                     return write_sorted(
-                        f, store.iter_sorted_rows_external()
+                        f,
+                        store.iter_sorted_rows_external(
+                            tmp_dir=tmp_dir
+                        ),
                     )
             return store_text.dump_ascii(store, f, args.fasta, args.fastq)
 

@@ -1823,28 +1823,39 @@ class DistCountEngine:
                     spill.append(pid, arr[lo:hi])
             acc[0] += lj
 
-    def _spill_emit_partition(
-        self, pass_id, pid, kk, cc, pass_sink, hist,
-        out_k, out_c, out_b, nb_banks,
-    ) -> int:
-        """Emit one counted spill partition.  Per-bank mode groups the
-        (kmer words..., bank) rows per kmer first — complete per
-        partition because the routing hash covers the W kmer words only
-        (spill_group_shard + SpillStore(hash_words=W)), so every bank's
-        copies of a kmer live in ONE partition.  The histogram
-        accumulates over per-KMER totals (the reference's abundance
-        spectrum counts kmers, not (kmer, bank) pairs).  Returns the
-        partition's distinct-kmer count."""
+    def _spill_prepare_partition(self, kk, cc, nb_banks):
+        """Lock-free half of a spill partition emit: per-bank grouping
+        (complete per partition — the routing hash covers the W kmer
+        words only, spill_group_shard + SpillStore(hash_words=W), so
+        every bank's copies of a kmer live in ONE partition) and the
+        histogram increment over per-KMER totals (the reference's
+        abundance spectrum counts kmers, not (kmer, bank) pairs).
+        O(rows) numpy work — the multiproc workers run this OUTSIDE the
+        shared emit lock so chips don't serialize on host grouping."""
         bmat = None
         if self.per_bank:
             from dsk_tpu.engine.counter import _group_by_kmer
 
             kk, cc, bmat = _group_by_kmer(kk, cc, self.W, nb_banks)
-        if cc.size:
-            hist += np.bincount(
+        hist_inc = (
+            np.bincount(
                 np.clip(cc, 1, self.nb_bins),
                 minlength=self.nb_bins + 1,
             ).astype(np.int64)
+            if cc.size
+            else None
+        )
+        return kk, cc, bmat, hist_inc
+
+    def _spill_emit_prepared(
+        self, pass_id, pid, prep, pass_sink, hist, out_k, out_c, out_b
+    ) -> int:
+        """Serialized half of a spill partition emit (HDF5 appends and
+        the shared accumulators are not thread-safe).  Returns the
+        partition's distinct-kmer count."""
+        kk, cc, bmat, hist_inc = prep
+        if hist_inc is not None:
+            hist += hist_inc
         n = int(kk.shape[0])
         if n == 0:
             return 0
@@ -1859,6 +1870,17 @@ class DistCountEngine:
             if bmat is not None:
                 out_b.append(bmat)
         return n
+
+    def _spill_emit_partition(
+        self, pass_id, pid, kk, cc, pass_sink, hist,
+        out_k, out_c, out_b, nb_banks,
+    ) -> int:
+        """Single-threaded emit (prepare + emit in one call)."""
+        return self._spill_emit_prepared(
+            pass_id, pid,
+            self._spill_prepare_partition(kk, cc, nb_banks),
+            pass_sink, hist, out_k, out_c, out_b,
+        )
 
     def _spill_collect_result(
         self, collect, out_k, out_c, out_b, nb_banks
@@ -1987,6 +2009,8 @@ class DistCountEngine:
             tok = jax.device_put(np.int32(0), dev)
             while True:
                 with cond:
+                    if state["errors"]:
+                        return  # fail fast: a peer worker died
                     while not work and state["in_flight"]:
                         cond.wait()
                     if state["errors"] or (
@@ -2038,11 +2062,15 @@ class DistCountEngine:
                     tc = np.asarray(tab_c)
                     tp = np.asarray(tab_p)
                     mask = tc > 0
+                    # O(rows) grouping/bincount OUTSIDE the lock: only
+                    # the sink call + shared accumulators serialize
+                    prep = self._spill_prepare_partition(
+                        tp[:, mask].T, tc[mask], nb_banks
+                    )
                     with cond:
-                        n_p = self._spill_emit_partition(
-                            pass_id, pid, tp[:, mask].T, tc[mask],
-                            pass_sink, hist, out_k, out_c, out_b,
-                            nb_banks,
+                        n_p = self._spill_emit_prepared(
+                            pass_id, pid, prep, pass_sink, hist,
+                            out_k, out_c, out_b,
                         )
                         state["n_distinct"] += n_p
                         ids.append(pid)
@@ -2057,9 +2085,13 @@ class DistCountEngine:
                         cond.notify_all()
                     return
 
+        # one worker per local chip even when the INITIAL queue is
+        # smaller: splits can fan a single skewed partition out into
+        # more children than there were initial work items, and idle
+        # workers wake on the queue's condition variable
         threads = [
             threading.Thread(target=worker, args=(d,), daemon=True)
-            for d in local_devs[: max(len(work), 1)]
+            for d in local_devs
         ]
         for th in threads:
             th.start()

@@ -303,7 +303,9 @@ class SpillStore:
         for fn in os.listdir(self.root):
             if not (fn.startswith("part_") and fn.endswith(suffix)):
                 continue
-            pid = int(fn[len("part_"):len("part_") + 5])
+            # parse up to the host suffix, NOT a fixed 5-digit slice:
+            # '%05d' widens for split-child pids >= 100000
+            pid = int(fn[len("part_"):fn.rindex("_h")])
             size = os.path.getsize(os.path.join(self.root, fn))
             self._rows[pid] = size // self.rec_bytes
             self.bytes_written += size
@@ -479,9 +481,11 @@ class SpillCheckpoint:
             return None
         return out
 
-    def latest_extra(self) -> dict | None:
-        """The highest-pass count mark's caller extras (store sizes are
-        cumulative across passes, so the latest mark aligns the store)."""
+    def latest_count(self) -> tuple[int, dict] | None:
+        """(pass, caller extras) of the highest-pass count mark (store
+        sizes are cumulative across passes, so the latest mark aligns
+        the store — PROVIDED the caller can also restore every earlier
+        pass, which run.py checks against its pass checkpoint)."""
         best = None
         for fn in os.listdir(self.root):
             if fn.startswith("count_p") and fn.endswith(".npz"):
@@ -489,7 +493,7 @@ class SpillCheckpoint:
         if best is None:
             return None
         st = self.load_count(best)
-        return st["extra"] if st is not None else None
+        return (best, st["extra"]) if st is not None else None
 
     def clear_pass(self, p: int) -> None:
         for path in (self._fill_path(p), self._count_path(p)):

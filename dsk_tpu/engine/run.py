@@ -399,8 +399,17 @@ def execute(params: RunParams) -> RunOutput:
             from dsk_tpu.dist.spill import SpillCheckpoint
             from dsk_tpu.engine.checkpoint import _fingerprint
 
+            # the ckpt dir holds the multi-GB bucket files: root it on
+            # the SPILL disk (-out-tmp) like non-checkpointed spill
+            # dirs, not next to the (possibly small) output filesystem
+            ck_base = params.out_tmp or os.path.dirname(
+                os.path.abspath(prefix_early)
+            )
             sckpt = SpillCheckpoint(
-                prefix_early + ".spillckpt",
+                os.path.join(
+                    ck_base,
+                    os.path.basename(prefix_early) + ".spillckpt",
+                ),
                 _fingerprint(params, n_passes),
             )
         if n_passes > 1 and params.checkpoint:
@@ -434,8 +443,19 @@ def execute(params: RunParams) -> RunOutput:
                 and params.resume
                 and os.path.exists(h5_path)
             ):
-                extra = sckpt.latest_extra()
-                if extra is not None and "store_pids" in extra:
+                latest = sckpt.latest_count()
+                mark_pass, extra = latest if latest else (None, None)
+                # the mark's recorded store sizes include every EARLIER
+                # pass's rows: aligning to it is only sound when those
+                # passes will be SKIPPED on this run (loaded from the
+                # pass checkpoint) — otherwise the engine recounts them
+                # on top of the preserved rows (duplicate solid kmers)
+                covered = mark_pass == 0 or (
+                    mark_pass is not None
+                    and done_passes is not None
+                    and all(q in done_passes for q in range(mark_pass))
+                )
+                if covered and extra is not None and "store_pids" in extra:
                     store = OutputStore(h5_path, "a")
                     store._compress = params.out_compress
                     store.truncate_partitions(
