@@ -2006,7 +2006,13 @@ class DistCountEngine:
         }
 
         def worker(dev):
+            from concurrent.futures import ThreadPoolExecutor
+
             tok = jax.device_put(np.int32(0), dev)
+            with ThreadPoolExecutor(1) as loader:
+                worker_loop(dev, tok, loader)
+
+        def worker_loop(dev, tok, loader):
             while True:
                 with cond:
                     if state["errors"]:
@@ -2023,14 +2029,26 @@ class DistCountEngine:
                     pid, modulus, residue = item
                     tab_p, tab_c, tover = self._spill_local_init(tok)
                     total_rows = spill.rows_all(pid)
-                    for ci in range(max(-(-total_rows // Rc), 1)):
-                        chunk = spill.read_chunk_all(pid, ci * Rc, Rc)
+                    n_chunks = max(-(-total_rows // Rc), 1)
+
+                    def load(ci, _pid=pid):
+                        chunk = spill.read_chunk_all(_pid, ci * Rc, Rc)
                         rec_p = np.full((WK, Rc), SENTINEL, np.uint32)
                         rec_c = np.zeros((Rc,), np.int32)
                         r = chunk.shape[0]
                         if r:
                             rec_p[:, :r] = chunk[:, :WK].T
                             rec_c[:r] = chunk[:, WK].view(np.int32)
+                        return rec_p, rec_c
+
+                    # 1-ahead loader: the shared-FS read + host assembly
+                    # of chunk ci+1 overlaps chunk ci's device merge
+                    # (the single-process path's putter, per worker)
+                    fut = loader.submit(load, 0)
+                    for ci in range(n_chunks):
+                        rec_p, rec_c = fut.result()
+                        if ci + 1 < n_chunks:
+                            fut = loader.submit(load, ci + 1)
                         tab_p, tab_c, tover = self._spill_local_prog(
                             jax.device_put(rec_p, dev),
                             jax.device_put(rec_c, dev),
