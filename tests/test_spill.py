@@ -559,6 +559,128 @@ def test_execute_spill_midpass_resume(data_dir, tmp_path, monkeypatch):
     assert {a: c for a, c in got_h.items() if c} == want_h
 
 
+def _spill_plan_2pass(monkeypatch):
+    """Pin a 2-pass spill plan (the fixture is too small for the
+    planner to choose either on its own)."""
+    from dsk_tpu.engine import run as run_mod
+    from dsk_tpu.engine.planner import ResourcePlan
+
+    plan = ResourcePlan(
+        n_passes=2, table_cap=1 << 15, flush_items=1 << 18,
+        buf_batches=8, batch_rows=256, row_len=128,
+        est_bases=500_000, est_distinct=1 << 16,
+        est_distinct_per_pass=1 << 15, spill=True, n_partitions=6,
+    )
+    monkeypatch.setattr(
+        run_mod, "plan_resources", lambda *a, **kw: plan
+    )
+
+
+def test_execute_spill_multipass_midpass_resume(
+    data_dir, tmp_path, monkeypatch
+):
+    """Crash during pass 1's count (pass 0 checkpointed): the resume
+    must skip pass 0 via the pass checkpoint AND resume pass 1 from its
+    marks (the store alignment is gated on exactly this coverage), with
+    zero fill re-streams and oracle parity."""
+    from dsk_tpu.dist.engine import DistCountEngine
+    from dsk_tpu.store.hdf5 import OutputStore
+
+    f = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    _spill_plan_2pass(monkeypatch)
+    common = dict(
+        file=f, kmer_size=K, abundance_min=1, histo=True,
+        out=str(tmp_path / "mp"), engine="dist", verbose=0,
+        batch_rows=256, row_len=128, spill="on",
+    )
+    orig_emit = DistCountEngine._spill_emit_prepared
+    p1_calls = [0]
+
+    def crashing(self, pass_id, pid, prep, *a):
+        if pass_id == 1:
+            p1_calls[0] += 1
+            if p1_calls[0] == 3:
+                raise _Boom()
+        return orig_emit(self, pass_id, pid, prep, *a)
+
+    monkeypatch.setattr(
+        DistCountEngine, "_spill_emit_prepared", crashing
+    )
+    with pytest.raises(_Boom):
+        execute(RunParams(**common))
+    monkeypatch.setattr(
+        DistCountEngine, "_spill_emit_prepared", orig_emit
+    )
+    assert p1_calls[0] == 3  # the crash really hit mid-pass-1
+
+    fills = [0]
+    orig_fill = DistCountEngine._spill_stream
+
+    def counting_fill(self, *a, **kw):
+        fills[0] += 1
+        return orig_fill(self, *a, **kw)
+
+    monkeypatch.setattr(DistCountEngine, "_spill_stream", counting_fill)
+    out = execute(RunParams(resume=True, **common))
+    assert fills[0] == 0  # pass 0 from ckpt, pass 1's fill from disk
+    with OutputStore.load(out.h5_path) as st:
+        items = {}
+        for v, c in st.iter_items():
+            assert v not in items  # a duplicate = the alignment bug
+            items[v] = c
+    assert items == oracle.count_bank(URI, K)
+
+
+def test_execute_spill_multipass_resume_without_pass_ckpt(
+    data_dir, tmp_path, monkeypatch
+):
+    """Same crash, but the PASS checkpoint is gone before the resume:
+    the mid-pass marks must NOT align the store (their sizes include
+    pass 0's rows, which will be recounted) — the run falls back to a
+    full recount with zero duplicates (review finding #1)."""
+    import os
+
+    from dsk_tpu.dist.engine import DistCountEngine
+    from dsk_tpu.store.hdf5 import OutputStore
+
+    f = str(data_dir / "read50x_ref10K_e001.fasta.gz")
+    _spill_plan_2pass(monkeypatch)
+    common = dict(
+        file=f, kmer_size=K, abundance_min=1, histo=True,
+        out=str(tmp_path / "nc"), engine="dist", verbose=0,
+        batch_rows=256, row_len=128, spill="on",
+    )
+    orig_emit = DistCountEngine._spill_emit_prepared
+    p1_calls = [0]
+
+    def crashing(self, pass_id, pid, prep, *a):
+        if pass_id == 1:
+            p1_calls[0] += 1
+            if p1_calls[0] == 3:
+                raise _Boom()
+        return orig_emit(self, pass_id, pid, prep, *a)
+
+    monkeypatch.setattr(
+        DistCountEngine, "_spill_emit_prepared", crashing
+    )
+    with pytest.raises(_Boom):
+        execute(RunParams(**common))
+    monkeypatch.setattr(
+        DistCountEngine, "_spill_emit_prepared", orig_emit
+    )
+    ck = str(tmp_path / "nc.ckpt.h5")
+    assert os.path.exists(ck)
+    os.unlink(ck)  # the pass checkpoint is lost/corrupt
+
+    out = execute(RunParams(resume=True, **common))
+    with OutputStore.load(out.h5_path) as st:
+        items = {}
+        for v, c in st.iter_items():
+            assert v not in items  # duplicates = pass-0 rows kept AND recounted
+            items[v] = c
+    assert items == oracle.count_bank(URI, K)
+
+
 def test_spill_multipass_resume(expect):
     """_count_spilled's done_passes path: a preloaded pass is skipped
     (its batches only tee the cache) and the merged result still equals
