@@ -681,6 +681,64 @@ def test_execute_spill_multipass_resume_without_pass_ckpt(
     assert items == oracle.count_bank(URI, K)
 
 
+def test_execute_spill_per_bank_histo2d_midpass_resume(
+    data_dir, tmp_path, monkeypatch
+):
+    """Per-bank spill (histo2D) killed mid-count, then -resume: the
+    checkpoint restores the partial histo2D matrix along with the
+    store, so the final .histo2D equals a clean run's byte-for-byte
+    and the fill never re-streams."""
+    from dsk_tpu.dist.engine import DistCountEngine
+    from dsk_tpu.store.hdf5 import OutputStore
+
+    files = _bank_files(data_dir, n=2)
+    common = dict(
+        file=files, kmer_size=K, abundance_min=1, histo=True,
+        histo2d=True, solidity_kind="min", engine="dist", verbose=0,
+        batch_rows=256, row_len=128, spill="on", spill_partitions=12,
+    )
+    out_clean = execute(
+        RunParams(out=str(tmp_path / "clean"), **common)
+    )
+    orig_emit = DistCountEngine._spill_emit_prepared
+    calls = [0]
+
+    def crashing(self, pass_id, pid, prep, *a):
+        calls[0] += 1
+        if calls[0] == 4:
+            raise _Boom()
+        return orig_emit(self, pass_id, pid, prep, *a)
+
+    monkeypatch.setattr(
+        DistCountEngine, "_spill_emit_prepared", crashing
+    )
+    with pytest.raises(_Boom):
+        execute(RunParams(out=str(tmp_path / "r"), **common))
+    monkeypatch.setattr(
+        DistCountEngine, "_spill_emit_prepared", orig_emit
+    )
+
+    fills = [0]
+    orig_fill = DistCountEngine._spill_stream
+
+    def counting_fill(self, *a, **kw):
+        fills[0] += 1
+        return orig_fill(self, *a, **kw)
+
+    monkeypatch.setattr(DistCountEngine, "_spill_stream", counting_fill)
+    out = execute(RunParams(resume=True, out=str(tmp_path / "r"), **common))
+    assert fills[0] == 0
+    for suffix in (".histo", ".histo2D"):
+        assert (
+            (tmp_path / ("r" + suffix)).read_bytes()
+            == (tmp_path / ("clean" + suffix)).read_bytes()
+        )
+    with OutputStore.load(out.h5_path) as sr, OutputStore.load(
+        out_clean.h5_path
+    ) as sc:
+        assert sorted(sr.iter_items()) == sorted(sc.iter_items())
+
+
 def test_spill_multipass_resume(expect):
     """_count_spilled's done_passes path: a preloaded pass is skipped
     (its batches only tee the cache) and the merged result still equals
