@@ -559,60 +559,104 @@ def test_execute_spill_midpass_resume(data_dir, tmp_path, monkeypatch):
     assert {a: c for a, c in got_h.items() if c} == want_h
 
 
-def _spill_plan_2pass(monkeypatch):
+def _pin_2pass_plan(run_mod):
     """Pin a 2-pass spill plan (the fixture is too small for the
-    planner to choose either on its own)."""
-    from dsk_tpu.engine import run as run_mod
+    planner to choose either on its own).  Returns an undo closure."""
     from dsk_tpu.engine.planner import ResourcePlan
 
     plan = ResourcePlan(
         n_passes=2, table_cap=1 << 15, flush_items=1 << 18,
-        buf_batches=8, batch_rows=256, row_len=128,
+        buf_batches=8, batch_rows=512, row_len=128,
         est_bases=500_000, est_distinct=1 << 16,
         est_distinct_per_pass=1 << 15, spill=True, n_partitions=6,
     )
-    monkeypatch.setattr(
-        run_mod, "plan_resources", lambda *a, **kw: plan
+    orig = run_mod.plan_resources
+    run_mod.plan_resources = lambda *a, **kw: plan
+    return lambda: setattr(run_mod, "plan_resources", orig)
+
+
+def _crash_on_emit(pass_id, at_call):
+    """Patch _spill_emit_prepared to raise _Boom on the at_call-th emit
+    of `pass_id`.  Returns (calls, undo)."""
+    from dsk_tpu.dist.engine import DistCountEngine
+
+    orig = DistCountEngine._spill_emit_prepared
+    calls = [0]
+
+    def crashing(self, p, pid, prep, *a):
+        if p == pass_id:
+            calls[0] += 1
+            if calls[0] == at_call:
+                raise _Boom()
+        return orig(self, p, pid, prep, *a)
+
+    DistCountEngine._spill_emit_prepared = crashing
+    return calls, lambda: setattr(
+        DistCountEngine, "_spill_emit_prepared", orig
     )
+
+
+def _mp_params(out_prefix):
+    return RunParams(
+        file=URI, kmer_size=K, abundance_min=1, histo=True,
+        out=out_prefix, engine="dist", verbose=0,
+        batch_rows=512, row_len=128, spill="on",
+    )
+
+
+@pytest.fixture(scope="module")
+def multipass_crashed(tmp_path_factory):
+    """ONE crashed 2-pass spill run (pass 0 checkpointed, killed on
+    pass 1's 3rd partition emit) shared by the resume tests — each
+    consumer copies the artifacts into its own directory."""
+    base = tmp_path_factory.mktemp("mpcrash")
+    from dsk_tpu.engine import run as run_mod
+
+    undo_plan = _pin_2pass_plan(run_mod)
+    calls, undo_emit = _crash_on_emit(pass_id=1, at_call=3)
+    try:
+        with pytest.raises(_Boom):
+            execute(_mp_params(str(base / "mp")))
+    finally:
+        undo_emit()
+        undo_plan()
+    assert calls[0] == 3  # the crash really hit mid-pass-1
+    return base
+
+
+def _copy_crashed(base, dest):
+    import shutil
+
+    dest.mkdir(exist_ok=True)
+    for name in ("mp.h5", "mp.ckpt.h5"):
+        shutil.copy(base / name, dest / name)
+    shutil.copytree(base / "mp.spillckpt", dest / "mp.spillckpt")
+    return str(dest / "mp")
+
+
+def _assert_no_dup_oracle(h5_path):
+    from dsk_tpu.store.hdf5 import OutputStore
+
+    with OutputStore.load(h5_path) as st:
+        items = {}
+        for v, c in st.iter_items():
+            assert v not in items  # a duplicate = the alignment bug
+            items[v] = c
+    assert items == oracle.count_bank(URI, K)
 
 
 def test_execute_spill_multipass_midpass_resume(
-    data_dir, tmp_path, monkeypatch
+    multipass_crashed, tmp_path, monkeypatch
 ):
-    """Crash during pass 1's count (pass 0 checkpointed): the resume
-    must skip pass 0 via the pass checkpoint AND resume pass 1 from its
-    marks (the store alignment is gated on exactly this coverage), with
-    zero fill re-streams and oracle parity."""
+    """Resume after a crash during pass 1's count: pass 0 comes from
+    the pass checkpoint AND pass 1 resumes from its marks (the store
+    alignment is gated on exactly this coverage), with zero fill
+    re-streams and oracle parity."""
     from dsk_tpu.dist.engine import DistCountEngine
-    from dsk_tpu.store.hdf5 import OutputStore
+    from dsk_tpu.engine import run as run_mod
 
-    f = str(data_dir / "read50x_ref10K_e001.fasta.gz")
-    _spill_plan_2pass(monkeypatch)
-    common = dict(
-        file=f, kmer_size=K, abundance_min=1, histo=True,
-        out=str(tmp_path / "mp"), engine="dist", verbose=0,
-        batch_rows=256, row_len=128, spill="on",
-    )
-    orig_emit = DistCountEngine._spill_emit_prepared
-    p1_calls = [0]
-
-    def crashing(self, pass_id, pid, prep, *a):
-        if pass_id == 1:
-            p1_calls[0] += 1
-            if p1_calls[0] == 3:
-                raise _Boom()
-        return orig_emit(self, pass_id, pid, prep, *a)
-
-    monkeypatch.setattr(
-        DistCountEngine, "_spill_emit_prepared", crashing
-    )
-    with pytest.raises(_Boom):
-        execute(RunParams(**common))
-    monkeypatch.setattr(
-        DistCountEngine, "_spill_emit_prepared", orig_emit
-    )
-    assert p1_calls[0] == 3  # the crash really hit mid-pass-1
-
+    prefix = _copy_crashed(multipass_crashed, tmp_path / "a")
+    undo_plan = _pin_2pass_plan(run_mod)
     fills = [0]
     orig_fill = DistCountEngine._spill_stream
 
@@ -621,18 +665,18 @@ def test_execute_spill_multipass_midpass_resume(
         return orig_fill(self, *a, **kw)
 
     monkeypatch.setattr(DistCountEngine, "_spill_stream", counting_fill)
-    out = execute(RunParams(resume=True, **common))
+    try:
+        params = _mp_params(prefix)
+        params.resume = True
+        out = execute(params)
+    finally:
+        undo_plan()
     assert fills[0] == 0  # pass 0 from ckpt, pass 1's fill from disk
-    with OutputStore.load(out.h5_path) as st:
-        items = {}
-        for v, c in st.iter_items():
-            assert v not in items  # a duplicate = the alignment bug
-            items[v] = c
-    assert items == oracle.count_bank(URI, K)
+    _assert_no_dup_oracle(out.h5_path)
 
 
 def test_execute_spill_multipass_resume_without_pass_ckpt(
-    data_dir, tmp_path, monkeypatch
+    multipass_crashed, tmp_path
 ):
     """Same crash, but the PASS checkpoint is gone before the resume:
     the mid-pass marks must NOT align the store (their sizes include
@@ -640,45 +684,18 @@ def test_execute_spill_multipass_resume_without_pass_ckpt(
     full recount with zero duplicates (review finding #1)."""
     import os
 
-    from dsk_tpu.dist.engine import DistCountEngine
-    from dsk_tpu.store.hdf5 import OutputStore
+    from dsk_tpu.engine import run as run_mod
 
-    f = str(data_dir / "read50x_ref10K_e001.fasta.gz")
-    _spill_plan_2pass(monkeypatch)
-    common = dict(
-        file=f, kmer_size=K, abundance_min=1, histo=True,
-        out=str(tmp_path / "nc"), engine="dist", verbose=0,
-        batch_rows=256, row_len=128, spill="on",
-    )
-    orig_emit = DistCountEngine._spill_emit_prepared
-    p1_calls = [0]
-
-    def crashing(self, pass_id, pid, prep, *a):
-        if pass_id == 1:
-            p1_calls[0] += 1
-            if p1_calls[0] == 3:
-                raise _Boom()
-        return orig_emit(self, pass_id, pid, prep, *a)
-
-    monkeypatch.setattr(
-        DistCountEngine, "_spill_emit_prepared", crashing
-    )
-    with pytest.raises(_Boom):
-        execute(RunParams(**common))
-    monkeypatch.setattr(
-        DistCountEngine, "_spill_emit_prepared", orig_emit
-    )
-    ck = str(tmp_path / "nc.ckpt.h5")
-    assert os.path.exists(ck)
-    os.unlink(ck)  # the pass checkpoint is lost/corrupt
-
-    out = execute(RunParams(resume=True, **common))
-    with OutputStore.load(out.h5_path) as st:
-        items = {}
-        for v, c in st.iter_items():
-            assert v not in items  # duplicates = pass-0 rows kept AND recounted
-            items[v] = c
-    assert items == oracle.count_bank(URI, K)
+    prefix = _copy_crashed(multipass_crashed, tmp_path / "b")
+    os.unlink(prefix + ".ckpt.h5")  # the pass checkpoint is lost
+    undo_plan = _pin_2pass_plan(run_mod)
+    try:
+        params = _mp_params(prefix)
+        params.resume = True
+        out = execute(params)
+    finally:
+        undo_plan()
+    _assert_no_dup_oracle(out.h5_path)
 
 
 def test_execute_spill_per_bank_histo2d_midpass_resume(
@@ -695,28 +712,17 @@ def test_execute_spill_per_bank_histo2d_midpass_resume(
     common = dict(
         file=files, kmer_size=K, abundance_min=1, histo=True,
         histo2d=True, solidity_kind="min", engine="dist", verbose=0,
-        batch_rows=256, row_len=128, spill="on", spill_partitions=12,
+        batch_rows=512, row_len=128, spill="on", spill_partitions=12,
     )
     out_clean = execute(
         RunParams(out=str(tmp_path / "clean"), **common)
     )
-    orig_emit = DistCountEngine._spill_emit_prepared
-    calls = [0]
-
-    def crashing(self, pass_id, pid, prep, *a):
-        calls[0] += 1
-        if calls[0] == 4:
-            raise _Boom()
-        return orig_emit(self, pass_id, pid, prep, *a)
-
-    monkeypatch.setattr(
-        DistCountEngine, "_spill_emit_prepared", crashing
-    )
-    with pytest.raises(_Boom):
-        execute(RunParams(out=str(tmp_path / "r"), **common))
-    monkeypatch.setattr(
-        DistCountEngine, "_spill_emit_prepared", orig_emit
-    )
+    calls, undo_emit = _crash_on_emit(pass_id=0, at_call=4)
+    try:
+        with pytest.raises(_Boom):
+            execute(RunParams(out=str(tmp_path / "r"), **common))
+    finally:
+        undo_emit()
 
     fills = [0]
     orig_fill = DistCountEngine._spill_stream
