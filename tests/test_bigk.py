@@ -85,6 +85,25 @@ def test_dist_engine_bucketized_bigk(big_fasta, k):
     assert got == want
 
 
+@pytest.mark.parametrize("k", [127])
+def test_spill_bigk(big_fasta, k):
+    """W=8 word planes through the SPILL path: 9-word records, host
+    split hash over all 8 kmer words, slab drains and count merges at
+    the widest span the golden gates pin on hardware."""
+    want = oracle.count_bank(big_fasta, k)
+    eng = DistCountEngine(
+        k, batch_rows=256, row_len=320, table_cap=1 << 13,
+        spill_partitions=4, spill_chunk_rows=1 << 13,
+    )
+    res = eng.count(big_fasta)
+    assert res.info["spill"] is True
+    got = {
+        codec.words_to_value(r): int(c)
+        for r, c in zip(res.kmers, res.counts)
+    }
+    assert got == want
+
+
 def test_planner_bigk_sampling(big_fasta):
     plan = plan_resources(big_fasta, 96, max_memory_mb=1000)
     # ~300 reads x ~200 windows, high distinctness: the sampled estimate
