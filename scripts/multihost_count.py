@@ -126,13 +126,21 @@ def main() -> int:
     if args.per_bank:
         # per-bank spill: the sink receives each owned partition
         # GROUPED per kmer (total + bank matrix), in the same order the
-        # engine records partition_ids/sizes (one critical section)
+        # engine records partition_ids/sizes (one critical section).
+        # The histo2D matrix is additive over kmers, so each host folds
+        # its owned partitions in and the global matrix allgather-sums
+        # (BASELINE config 5: the joint spectrum across hosts).
+        from dsk_tpu.engine import processors
+
         acc = {"k": [], "t": [], "b": []}
+        histo2d = np.zeros((10_000 + 2, 11), np.int64)
 
         def pb_sink(p, part_id, kk, tot, bmat):
             acc["k"].append(kk)
             acc["t"].append(tot)
             acc["b"].append(bmat)
+            if bmat.shape[0] and bmat.shape[1] >= 2:
+                histo2d[:] += processors.histo2d_matrix(bmat)
 
         res = engine.count(
             shard, per_bank=True, pass_sink_per_bank=pb_sink,
@@ -172,13 +180,21 @@ def main() -> int:
     )
     multihost_utils.sync_global_devices("dsk_tpu_mh_parts_written")
 
+    if args.per_bank:
+        # the global histo2D sums every host's owned-partition folds
+        histo2d = np.asarray(
+            multihost_utils.process_allgather(histo2d)
+        ).sum(axis=0)
     if pid == 0 and args.per_bank:
         # per-bank mode: partitions live in the npz files (grouped
-        # kmer + bank matrix); the global histogram is the shared
-        # text artifact
+        # kmer + bank matrix); the global histogram + histo2D are the
+        # shared text artifacts
         with open(args.out + ".histo", "w") as f:
             store_text.write_histo(res.histogram, f)
-        print(f"[mh 0] wrote {args.out}.histo (per-bank)",
+        if shard.nb_banks >= 2:
+            with open(args.out + ".histo2D", "w") as f:
+                store_text.write_histo2d(histo2d, f)
+        print(f"[mh 0] wrote {args.out}.histo / .histo2D (per-bank)",
               file=sys.stderr, flush=True)
     elif pid == 0:
         parts = []

@@ -85,6 +85,23 @@ def test_dist_engine_bucketized_bigk(big_fasta, k):
     assert got == want
 
 
+@pytest.mark.parametrize("k", [65])
+def test_dist_engine_multipass_bigk(big_fasta, k):
+    """BASELINE config 4: large-k multi-word kmers WITH multi-pass
+    partitioning (pass filter over W=5 word planes)."""
+    want = oracle.count_bank(big_fasta, k)
+    eng = DistCountEngine(
+        k, batch_rows=256, row_len=320, table_cap=1 << 14, n_passes=2,
+    )
+    res = eng.count(big_fasta, n_passes=2)
+    got = {
+        codec.words_to_value(r): int(c)
+        for r, c in zip(res.kmers, res.counts)
+    }
+    assert got == want
+    assert int(res.histogram[1:].sum()) == len(want)
+
+
 @pytest.mark.parametrize("k", [127])
 def test_spill_bigk(big_fasta, k):
     """W=8 word planes through the SPILL path: 9-word records, host

@@ -390,6 +390,21 @@ def test_two_process_per_bank_spill(plain_fixture, tmp_path, data_dir):
     # identical banks: the per-bank vector must be symmetric
     assert all(a == b for a, b in seen.values())
 
+    # the cross-host histo2D (allgather-summed per-host folds) must be
+    # byte-identical to a single-process -histo2D run over the same
+    # comma list (BASELINE config 5: joint spectrum across 2 hosts)
+    from dsk_tpu.engine.run import RunParams, execute
+
+    execute(RunParams(
+        file=files, kmer_size=27, abundance_min=1, histo2d=True,
+        out=str(tmp_path / "sp1"), verbose=0,
+        batch_rows=256, row_len=128, engine="dist",
+    ))
+    assert (
+        open(out + ".histo2D").read()
+        == open(str(tmp_path / "sp1") + ".histo2D").read()
+    )
+
 
 @pytest.mark.slow
 def test_four_process_spill_with_split(plain_fixture, tmp_path, data_dir):

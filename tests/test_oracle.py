@@ -201,3 +201,24 @@ def test_planner_thinned_distinct_estimate_close():
     exact = np.unique(v[ok]).shape[0]
     assert s2 > 4_000_000  # thinning actually engaged
     assert abs(d2 - exact) / exact < 0.05
+
+
+def test_comma_list_k31_matches_oracle(data_dir):
+    """BASELINE config 2: k=31 over the c1-c4 gzipped comma list —
+    canonical counts + abundance histogram vs the host oracle."""
+    from dsk_tpu import oracle
+    from dsk_tpu.dist.engine import DistCountEngine
+
+    files = ",".join(
+        str(data_dir / f"c{i}.fasta.gz") for i in (1, 2, 3, 4)
+    )
+    want = oracle.count_bank(files, 31)
+    res = DistCountEngine(
+        31, batch_rows=512, row_len=128, table_cap=1 << 14
+    ).count(files)
+    got = {
+        codec.words_to_value(r): int(c)
+        for r, c in zip(res.kmers, res.counts)
+    }
+    assert got == want
+    assert int(res.histogram[1:].sum()) == len(want)
