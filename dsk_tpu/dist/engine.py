@@ -1459,14 +1459,33 @@ class DistCountEngine:
                 "spill mode preserves work at pass granularity, not via "
                 "stream snapshots"
             )
-        # mid-pass resume (VERDICT r4 weak #6): needs a replayable sink
-        # (collect mode cannot reconstruct already-emitted partitions)
-        # and single-process (multi-process keeps pass granularity —
-        # cross-host mark consistency is not worth the coordination)
-        if spill_ckpt is not None and (
+        # resume granularity (VERDICT r4 weak #6 + round 5):
+        #   full mid-pass (fill skip + count marks): needs a replayable
+        #     sink (collect mode cannot reconstruct already-emitted
+        #     partitions) and single-process (count marks would need
+        #     cross-host consistency with the caller's store).
+        #   FILL-ONLY (fill skip, count restarts): works everywhere —
+        #     the bucket files are durable on the (shared) filesystem
+        #     and the count phase rebuilds from them, so the expensive
+        #     input-streaming half is never repeated.  Multi-process
+        #     runs and collect-mode callers get this half.
+        ckpt_fill_only = spill_ckpt is not None and (
             self.multi_process or pass_sink is None
-        ):
-            spill_ckpt = None
+        )
+        ckpt_rank = jax.process_index() if self.multi_process else 0
+        ckpt_hosts = jax.process_count() if self.multi_process else 1
+
+        def _ckpt_fill_done(p):
+            if spill_ckpt is None:
+                return None
+            if self.multi_process:
+                done = spill_ckpt.fill_done_all(p, ckpt_hosts)
+                if done is None:
+                    return None
+                stats = dict(done[ckpt_rank])
+                stats["fill_resumed"] = True
+                return stats
+            return spill_ckpt.fill_done(p)
         base = self.spill_dir or cache_dir or tempfile.gettempdir()
         if self.multi_process:
             # shared dir: every process must agree on a name that is
@@ -1516,11 +1535,7 @@ class DistCountEngine:
             )
             ok = False
             try:
-                stats = (
-                    spill_ckpt.fill_done(p)
-                    if spill_ckpt is not None
-                    else None
-                )
+                stats = _ckpt_fill_done(p)
                 if stats is not None:
                     # the fill's bucket files are whole on disk: skip
                     # the stream entirely — ZERO input re-reads.  (A
@@ -1533,15 +1548,16 @@ class DistCountEngine:
                 else:
                     if spill_ckpt is not None:
                         # deterministic dir: a stale partial fill must
-                        # never be appended to (SpillStore opens "ab")
+                        # never be appended to (SpillStore opens "ab";
+                        # reset touches only THIS host's files)
                         spill.reset()
-                        spill_ckpt.clear_pass(p)
+                        spill_ckpt.clear_pass(p, host=ckpt_rank)
                     stats = self._spill_stream(
                         batches, spill, pass_id=p, progress_cb=progress_cb
                     )
                     if spill_ckpt is not None:
                         spill.flush_all()
-                        spill_ckpt.save_fill(p, stats)
+                        spill_ckpt.save_fill(p, stats, host=ckpt_rank)
                 if self.multi_process:
                     # every host's bucket files must be complete before
                     # any host reads them for its owned partitions
@@ -1553,7 +1569,7 @@ class DistCountEngine:
                     )
                 res = self._count_partitions(
                     spill, p, pass_sink, stats, nb_banks=bank.nb_banks,
-                    ckpt=spill_ckpt,
+                    ckpt=None if ckpt_fill_only else spill_ckpt,
                 )
                 if self.multi_process:
                     from jax.experimental import multihost_utils
@@ -1567,10 +1583,11 @@ class DistCountEngine:
                 if ok or spill_ckpt is None:
                     # keep the bucket files + manifest when a
                     # checkpointed pass DIES mid-way: they ARE the
-                    # resume state
+                    # resume state.  Cleanup is own-host-only (shared
+                    # dirs: peers clear their own files).
                     spill.delete()
                     if spill_ckpt is not None:
-                        spill_ckpt.clear_pass(p)
+                        spill_ckpt.clear_pass(p, host=ckpt_rank)
                 else:
                     spill.close()
 
@@ -1578,7 +1595,7 @@ class DistCountEngine:
             self.local_batch_rows if self.multi_process else self.batch_rows
         )
         if n_passes <= 1:
-            if spill_ckpt is not None and spill_ckpt.fill_done(0) is not None:
+            if _ckpt_fill_done(0) is not None:
                 # the fill is durable on disk: never even START the
                 # reader (prefetch spawns an eager thread) — the
                 # resume's zero-input-reads guarantee

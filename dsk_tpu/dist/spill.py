@@ -382,19 +382,20 @@ class SpillCheckpoint:
     def pass_dir(self, p: int) -> str:
         return os.path.join(self.root, f"pass{p}")
 
-    def _fill_path(self, p: int) -> str:
-        return os.path.join(self.root, f"fill_p{p}.json")
+    def _fill_path(self, p: int, host: int = 0) -> str:
+        suf = "" if host == 0 else f"_h{host:03d}"
+        return os.path.join(self.root, f"fill_p{p}{suf}.json")
 
     def _count_path(self, p: int) -> str:
         return os.path.join(self.root, f"count_p{p}.npz")
 
-    def fill_done(self, p: int) -> dict | None:
+    def fill_done(self, p: int, host: int = 0) -> dict | None:
         """The completed fill's stream stats, or None (absent / stale /
         fingerprint mismatch)."""
         import json
 
         try:
-            with open(self._fill_path(p)) as f:
+            with open(self._fill_path(p, host)) as f:
                 doc = json.load(f)
         except (OSError, ValueError):
             return None
@@ -402,17 +403,31 @@ class SpillCheckpoint:
             return None
         return doc.get("stats")
 
-    def save_fill(self, p: int, stats: dict) -> None:
+    def fill_done_all(self, p: int, n_hosts: int) -> dict | None:
+        """Multi-process fill-resume: {rank: stats} when EVERY host's
+        fill manifest is present and fingerprint-valid in the SHARED
+        checkpoint dir, else None.  All hosts evaluate the same files,
+        so they agree on skip-vs-stream (a stale-FS disagreement fails
+        loudly in the lockstep barrier, never silently)."""
+        out = {}
+        for h in range(n_hosts):
+            stats = self.fill_done(p, h)
+            if stats is None:
+                return None
+            out[h] = stats
+        return out
+
+    def save_fill(self, p: int, stats: dict, host: int = 0) -> None:
         import json
 
-        tmp = self._fill_path(p) + ".tmp"
+        tmp = self._fill_path(p, host) + f".tmp{host}"
         with open(tmp, "w") as f:
             json.dump(
                 {"fingerprint": self.fingerprint, "stats": stats}, f
             )
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, self._fill_path(p))
+        os.replace(tmp, self._fill_path(p, host))
 
     def mark(self, p: int, state: dict) -> None:
         """Persist one count-progress mark.  state: work (list of
@@ -495,8 +510,8 @@ class SpillCheckpoint:
         st = self.load_count(best)
         return (best, st["extra"]) if st is not None else None
 
-    def clear_pass(self, p: int) -> None:
-        for path in (self._fill_path(p), self._count_path(p)):
+    def clear_pass(self, p: int, host: int = 0) -> None:
+        for path in (self._fill_path(p, host), self._count_path(p)):
             if os.path.exists(path):
                 os.unlink(path)
 

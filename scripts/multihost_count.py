@@ -65,6 +65,13 @@ def main() -> int:
                          "process after N dispatched flush groups — "
                          "survivors must error out within the lockstep "
                          "barrier timeout, never hang")
+    ap.add_argument("-selfdestruct-after-fill",
+                    dest="selfdestruct_fill", action="store_true",
+                    help="FAILURE INJECTION (tests): hard-kill this "
+                         "process once its spill FILL phase completes "
+                         "(manifests durable) — a re-run must resume "
+                         "the count from the shared bucket files with "
+                         "zero input re-streams")
     args = ap.parse_args()
 
     from dsk_tpu.dist import multihost
@@ -123,6 +130,42 @@ def main() -> int:
             return real_step(*a)
 
         setattr(engine, attr, dying_step)
+    if args.selfdestruct_fill:
+        # die right where the count phase would start: after the fill
+        # barrier, so the manifests + bucket files are durable
+        def dying_count(*a, **kw):
+            print(f"[mh {pid}] SELF-DESTRUCT after fill",
+                  file=sys.stderr, flush=True)
+            os._exit(13)
+
+        engine._count_partitions = dying_count
+
+    # multi-process spill FILL-resume (round 5): manifests in the
+    # SHARED dir next to -out; a re-run whose fingerprint matches a
+    # complete set of manifests skips every host's input stream and
+    # rebuilds the count from the durable bucket files
+    spill_ckpt = None
+    if args.spill_partitions > 0:
+        import json as _json
+
+        from dsk_tpu.dist.spill import SpillCheckpoint
+
+        shared = os.path.dirname(os.path.abspath(args.out))
+        fp = _json.dumps(
+            {
+                "file": args.file, "k": args.kmer_size,
+                "rows": args.batch_rows, "len": args.row_len,
+                "cap": args.table_cap, "parts": args.spill_partitions,
+                "n": args.num_processes, "pb": bool(args.per_bank),
+            },
+            sort_keys=True,
+        )
+        spill_ckpt = SpillCheckpoint(
+            os.path.join(
+                shared, os.path.basename(args.out) + ".spillckpt"
+            ),
+            fp,
+        )
     if args.per_bank:
         # per-bank spill: the sink receives each owned partition
         # GROUPED per kmer (total + bank matrix), in the same order the
@@ -144,7 +187,7 @@ def main() -> int:
 
         res = engine.count(
             shard, per_bank=True, pass_sink_per_bank=pb_sink,
-            n_workers=args.nb_cores,
+            n_workers=args.nb_cores, spill_ckpt=spill_ckpt,
         )
         nb = shard.nb_banks
         kmers = (
@@ -160,7 +203,9 @@ def main() -> int:
             if acc["b"] else np.zeros((0, nb), np.int64)
         )
     else:
-        res = engine.count(shard, n_workers=args.nb_cores)
+        res = engine.count(
+            shard, n_workers=args.nb_cores, spill_ckpt=spill_ckpt
+        )
         kmers, counts, banks = res.kmers, res.counts, None
 
     # every host persists its partitions; process 0 merges after a barrier
@@ -176,6 +221,7 @@ def main() -> int:
         spill_count_devices=np.int32(
             res.info.get("spill_count_devices", 0)
         ),
+        fill_resumed=np.int32(bool(res.info.get("fill_resumed"))),
         **extra,
     )
     multihost_utils.sync_global_devices("dsk_tpu_mh_parts_written")
@@ -232,6 +278,8 @@ def main() -> int:
         print(f"[mh 0] wrote {args.out}.h5 / .histo", file=sys.stderr,
               flush=True)
     multihost_utils.sync_global_devices("dsk_tpu_mh_done")
+    if pid == 0 and spill_ckpt is not None:
+        spill_ckpt.remove()  # all hosts past the barrier: run complete
     return 0
 
 

@@ -407,6 +407,61 @@ def test_two_process_per_bank_spill(plain_fixture, tmp_path, data_dir):
 
 
 @pytest.mark.slow
+def test_two_process_spill_fill_resume(plain_fixture, tmp_path, data_dir):
+    """Multi-process spill FILL-resume (round 5): both processes die
+    right after their fill completes (shared-dir manifests durable);
+    the re-run must skip every host's input stream (fill_resumed on
+    both), count from the durable bucket files, and land byte-exact."""
+    out = str(tmp_path / "mhfr")
+
+    def launch_all(extra):
+        port = _free_port()
+        return [
+            _launch(pid, port, 2, out, plain_fixture,
+                    extra=("-spill-partitions", "8", *extra))
+            for pid in (0, 1)
+        ]
+
+    procs = launch_all(("-selfdestruct-after-fill",))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 13, se.decode()[-2000:]
+    import os as _os
+
+    ck = tmp_path / "mhfr.spillckpt"
+    assert _os.path.isdir(ck)
+    manifests = [f for f in _os.listdir(ck) if f.startswith("fill_p0")]
+    assert len(manifests) == 2  # one per host, all durable
+
+    procs = launch_all(())
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+    assert not _os.path.isdir(ck)  # success cleans the shared ckpt
+
+    got = {}
+    with open(out + ".histo") as f:
+        for line in f:
+            a, c = line.split()
+            got[int(a)] = int(c)
+    assert got == load_histo_fixture(data_dir / "k27.histo")
+
+    from dsk_tpu.kmer import codec
+    from dsk_tpu.oracle import count_bank
+
+    oracle = count_bank(plain_fixture, 27)
+    seen = {}
+    for i in (0, 1):
+        part = np.load(f"{out}.part{i}.npz")
+        assert int(part["fill_resumed"]) == 1  # input never re-streamed
+        for row, c in zip(part["kmers"], part["counts"]):
+            v = codec.words_to_value(row)
+            assert v not in seen
+            seen[v] = int(c)
+    assert seen == {v: c for v, c in oracle.items()}
+
+
+@pytest.mark.slow
 def test_four_process_spill_with_split(plain_fixture, tmp_path, data_dir):
     """4-process spill with a table cap small enough to force partition
     SPLITS on some host: rank-strided split ids stay globally unique,
