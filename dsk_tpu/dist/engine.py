@@ -1480,12 +1480,13 @@ class DistCountEngine:
                 return None
             if self.multi_process:
                 done = spill_ckpt.fill_done_all(p, ckpt_hosts)
-                if done is None:
-                    return None
-                stats = dict(done[ckpt_rank])
+                stats = dict(done[ckpt_rank]) if done else None
+            else:
+                stats = spill_ckpt.fill_done(p)
+                stats = dict(stats) if stats is not None else None
+            if stats is not None:
                 stats["fill_resumed"] = True
-                return stats
-            return spill_ckpt.fill_done(p)
+            return stats
         base = self.spill_dir or cache_dir or tempfile.gettempdir()
         if self.multi_process:
             # shared dir: every process must agree on a name that is
@@ -1569,7 +1570,7 @@ class DistCountEngine:
                     )
                 res = self._count_partitions(
                     spill, p, pass_sink, stats, nb_banks=bank.nb_banks,
-                    ckpt=None if ckpt_fill_only else spill_ckpt,
+                    ckpt=spill_ckpt, ckpt_fill_only=ckpt_fill_only,
                 )
                 if self.multi_process:
                     from jax.experimental import multihost_utils
@@ -1925,7 +1926,7 @@ class DistCountEngine:
 
     def _count_partitions_multiproc(
         self, spill, pass_id: int, pass_sink, stats: dict,
-        nb_banks: int = 1,
+        nb_banks: int = 1, ckpt=None,
     ) -> CountResult:
         """Multi-process count phase: host-LOCAL, collective-free.
         Partitions are owned by pid % n_hosts (split children inherit
@@ -2081,6 +2082,15 @@ class DistCountEngine:
                         with cond:
                             nid = state["next_id"]
                             state["next_id"] += n_hosts
+                            if ckpt is not None:
+                                # fill-only resume: the split is about
+                                # to rewrite bucket files in place, so
+                                # THIS host's fill manifest must die
+                                # FIRST — a post-split crash must never
+                                # skip the fill over mutated buckets
+                                # whose children the fresh work list
+                                # would not enumerate (silent loss)
+                                ckpt.clear_pass(pass_id, host=rank)
                         # file rewrite outside the lock: this worker
                         # holds pid exclusively (fill is complete, no
                         # other worker owns it)
@@ -2181,7 +2191,7 @@ class DistCountEngine:
 
     def _count_partitions(
         self, spill, pass_id: int, pass_sink, stats: dict,
-        nb_banks: int = 1, ckpt=None,
+        nb_banks: int = 1, ckpt=None, ckpt_fill_only: bool = False,
     ) -> CountResult:
         """Count phase: merge each partition's spilled records into an
         HBM table, n partitions at a time (chip j owns batch[j]).  A
@@ -2192,11 +2202,15 @@ class DistCountEngine:
         ckpt (dist/spill.py SpillCheckpoint): a durable mark is written
         after every counted batch (remaining work queue + split state +
         running histogram + caller extras), so a crashed run resumes
-        from the last mark instead of recounting the pass."""
+        from the last mark instead of recounting the pass.
+        ckpt_fill_only: no marks — the ckpt is used ONLY to invalidate
+        this pass's fill manifest before a split mutates the bucket
+        files (the fill-resume safety rule)."""
         if self.multi_process:
             return self._count_partitions_multiproc(
-                spill, pass_id, pass_sink, stats, nb_banks
+                spill, pass_id, pass_sink, stats, nb_banks, ckpt=ckpt
             )
+        marks = ckpt if not ckpt_fill_only else None
         import time as _time
 
         plan, WK = self.plan, self.WK
@@ -2219,8 +2233,8 @@ class DistCountEngine:
         resumed = False
         # (store partition id, hash modulus, residue)
         work = [(pid, P_, pid) for pid in spill.partitions()]
-        if ckpt is not None:
-            state = ckpt.load_count(pass_id)
+        if marks is not None:
+            state = marks.load_count(pass_id)
             if state is not None:
                 # resume from the last durable mark: already-counted
                 # partitions are absent from the restored work queue
@@ -2360,12 +2374,20 @@ class DistCountEngine:
                     nid = next_id
                     next_id += 1
                     splits += 1
-                    if ckpt is not None:
+                    if ckpt is not None and marks is None:
+                        # fill-only resume: the manifest must die BEFORE
+                        # the split mutates the bucket files — a
+                        # post-split crash must never skip the fill over
+                        # buckets whose children a fresh work list would
+                        # not enumerate (silent loss); the mark protocol
+                        # below handles this for full mid-pass resume
+                        ckpt.clear_pass(pass_id)
+                    if marks is not None:
                         # INTENT mark before the files move: a crash
                         # mid-split resumes by REDOING the (idempotent)
                         # split — without it the half-moved parent would
                         # merge clean and orphan the hi-side child
-                        ckpt.mark(
+                        marks.mark(
                             pass_id,
                             mark_state(
                                 rest,
@@ -2375,14 +2397,14 @@ class DistCountEngine:
                     spill.split(pid, modulus, residue, nid)
                     work.append((pid, 2 * modulus, residue))
                     work.append((nid, 2 * modulus, residue + modulus))
-                    if ckpt is not None:
-                        ckpt.mark(pass_id, mark_state(rest))
+                    if marks is not None:
+                        marks.mark(pass_id, mark_state(rest))
                     continue
                 kk, cc = parts.get(j, (None, None))
                 if kk is None or kk.shape[0] == 0:
                     sizes[pid] = 0
-                    if ckpt is not None:
-                        ckpt.mark(pass_id, mark_state(rest))
+                    if marks is not None:
+                        marks.mark(pass_id, mark_state(rest))
                     continue
                 n_p = self._spill_emit_partition(
                     pass_id, pid, kk, cc, pass_sink, hist,
@@ -2390,8 +2412,8 @@ class DistCountEngine:
                 )
                 n_distinct += n_p
                 sizes[pid] = n_p
-                if ckpt is not None:
-                    ckpt.mark(pass_id, mark_state(rest))
+                if marks is not None:
+                    marks.mark(pass_id, mark_state(rest))
         finally:
             putter.shutdown(wait=True, cancel_futures=True)
         info = dict(stats)

@@ -405,6 +405,12 @@ def merge_pass_results(results: list[CountResult]) -> CountResult:
     info.pop("partition_sizes", None)
     info["n_bases"] = first.info.get("n_bases", 0)
     info["n_passes"] = len(results)
+    # resume evidence is per pass: a crash in pass p>=1 resumes with
+    # pass 0's info flags False — OR them so callers (and the hardware
+    # resume gate) see that ANY pass actually resumed
+    for key in ("spill_resumed", "fill_resumed"):
+        if any(r.info.get(key) for r in results):
+            info[key] = True
     return CountResult(
         k=first.k,
         kmers=kmers,

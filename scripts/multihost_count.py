@@ -176,14 +176,18 @@ def main() -> int:
         from dsk_tpu.engine import processors
 
         acc = {"k": [], "t": [], "b": []}
-        histo2d = np.zeros((10_000 + 2, 11), np.int64)
+        # one named histo_max drives BOTH the buffer shape and the
+        # matrix builder (shape coupling by name, not by literal);
+        # matches RunParams.histo_max's default
+        H2D_MAX = 10_000
+        histo2d = np.zeros((H2D_MAX + 2, 11), np.int64)
 
         def pb_sink(p, part_id, kk, tot, bmat):
             acc["k"].append(kk)
             acc["t"].append(tot)
             acc["b"].append(bmat)
             if bmat.shape[0] and bmat.shape[1] >= 2:
-                histo2d[:] += processors.histo2d_matrix(bmat)
+                histo2d[:] += processors.histo2d_matrix(bmat, H2D_MAX)
 
         res = engine.count(
             shard, per_bank=True, pass_sink_per_bank=pb_sink,

@@ -107,30 +107,15 @@ def main() -> int:
         }
         return out
 
-    # the ref store is only reusable if it was built from THIS input:
-    # a sidecar records (input path, size).  Round-5 lesson: a re-run
-    # with a different --genome-mb silently compared across inputs and
-    # reported a fake FAIL.
-    import json as _json
-
-    ref_h5 = f"{tag_dir}/a.h5"
-    ref_key = {"input": fasta, "bytes": os.path.getsize(fasta)}
-    sidecar = ref_h5 + ".input.json"
-    reusable = False
-    if os.path.exists(ref_h5) and os.path.exists(sidecar):
-        with open(sidecar) as f:
-            reusable = _json.load(f) == ref_key
-    if reusable:
-        log(f"reference store exists: {ref_h5} (reusing, input matches)")
+    # ref store keyed to its input via the shared sidecar helper
+    # (vg.ensure_ref_store — round-5 lesson: an unkeyed reuse at a
+    # different --genome-mb reported a fake FAIL)
+    ref_h5 = vg.ensure_ref_store(
+        tag_dir, fasta,
+        lambda: run("a", spill="off", max_memory=2600, max_disk=150),
+    )
+    if "a" not in results:
         results["ref"] = {"h5": ref_h5, "reused": True}
-    else:
-        if os.path.exists(ref_h5):
-            log(f"reference store stale (different input): rebuilding")
-            os.unlink(ref_h5)
-        run("a", spill="off", max_memory=2600, max_disk=150)
-        ref_h5 = results["a"]["h5"]
-        with open(sidecar, "w") as f:
-            _json.dump(ref_key, f)
 
     out_sp = run(
         "spill", spill="on", max_memory=mem_spill,

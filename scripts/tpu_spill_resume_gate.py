@@ -129,26 +129,16 @@ def main() -> int:
     assert not os.path.isdir(ckpt_dir), "ckpt not cleaned after success"
 
     # -- compare against the uninterrupted reference store -------------
-    # same input-keying discipline as tpu_spill_guard: only reuse a.h5
-    # when its sidecar matches THIS input; otherwise build it fresh
-    ref_h5 = f"{tag_dir}/a.h5"
-    ref_key = {"input": fasta, "bytes": os.path.getsize(fasta)}
-    sidecar = ref_h5 + ".input.json"
-    reusable = False
-    if os.path.exists(ref_h5) and os.path.exists(sidecar):
-        with open(sidecar) as f:
-            reusable = json.load(f) == ref_key
-    if not reusable:
-        log("reference store missing/stale: building")
-        if os.path.exists(ref_h5):
-            os.unlink(ref_h5)
-        execute(RunParams(
+    # shared input-keying discipline (vg.ensure_ref_store): reuse a.h5
+    # only when its sidecar matches THIS input, else build it fresh
+    ref_h5 = vg.ensure_ref_store(
+        tag_dir, fasta,
+        lambda: execute(RunParams(
             file=fasta, kmer_size=31, abundance_min=3, verbose=2,
             histo=1, spill="off", max_memory=2600, max_disk=150,
             out=f"{tag_dir}/a",
-        ))
-        with open(sidecar, "w") as f:
-            json.dump(ref_key, f)
+        )),
+    )
     same_hist, same_tab, rows = vg.compare_stores(ref_h5, out.h5_path)
     gate = {
         "gate": "tpu_spill_resume",

@@ -105,6 +105,36 @@ def load_store(path):
     return k[order], c[order], hist
 
 
+def ensure_ref_store(tag_dir: str, fasta: str, build) -> str:
+    """Reuse `tag_dir`/a.h5 only when its sidecar records THIS input
+    (path + byte size); otherwise delete the stale store, call
+    build() — which must write `tag_dir`/a.h5 — and stamp the sidecar.
+    Shared by every gate script so the keying stays byte-compatible
+    (round-5 lesson: an unkeyed reuse at a different --genome-mb
+    silently compared across inputs and reported a fake FAIL)."""
+    import json
+    import os
+
+    ref_h5 = os.path.join(tag_dir, "a.h5")
+    sidecar = ref_h5 + ".input.json"
+    key = {"input": fasta, "bytes": os.path.getsize(fasta)}
+    if os.path.exists(ref_h5) and os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                if json.load(f) == key:
+                    log(f"reference store {ref_h5} reused (input matches)")
+                    return ref_h5
+        except (OSError, ValueError):
+            pass
+    if os.path.exists(ref_h5):
+        log("reference store stale (different input): rebuilding")
+        os.unlink(ref_h5)
+    build()
+    with open(sidecar, "w") as f:
+        json.dump(key, f)
+    return ref_h5
+
+
 def compare_stores(a_h5: str, b_h5: str) -> tuple[bool, bool, int]:
     """(histogram identical, table identical, rows) between two stores
     — the shared identity gate for this script and tpu_volume_guard."""
