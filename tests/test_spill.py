@@ -698,6 +698,51 @@ def test_execute_spill_multipass_resume_without_pass_ckpt(
     _assert_no_dup_oracle(out.h5_path)
 
 
+def test_fill_only_resume_invalidated_by_split(
+    tmp_path, monkeypatch, expect
+):
+    """Fill-only resume (collect mode / multi-process semantics): a
+    count-phase split rewrites bucket files in place, so the fill
+    manifest must die BEFORE the split — a crash right after the split
+    must REFILL on resume, never skip over mutated buckets (whose
+    children a fresh work list would silently drop)."""
+    from dsk_tpu.dist import engine as eng_mod
+    from dsk_tpu.dist.spill import SpillCheckpoint, SpillStore
+
+    mk = lambda: _spill_engine(  # noqa: E731
+        1, table_cap=1 << 13, spill_partitions=4,
+        spill_chunk_rows=1 << 13,  # small cap: splits guaranteed
+    )
+    ck = SpillCheckpoint(str(tmp_path / "fo"), "fp-fo")
+    orig_split = SpillStore.split
+
+    def crash_after_split(self, *a, **kw):
+        orig_split(self, *a, **kw)
+        raise _Boom()  # worst case: the buckets are already mutated
+
+    monkeypatch.setattr(SpillStore, "split", crash_after_split)
+    with pytest.raises(_Boom):
+        mk().count(URI, spill_ckpt=ck)  # no sink -> fill-only ckpt
+    monkeypatch.setattr(SpillStore, "split", orig_split)
+    assert ck.fill_done(0) is None  # invalidated BEFORE the split
+
+    fills = [0]
+    orig_fill = eng_mod.DistCountEngine._spill_stream
+
+    def counting_fill(self, *a, **kw):
+        fills[0] += 1
+        return orig_fill(self, *a, **kw)
+
+    monkeypatch.setattr(
+        eng_mod.DistCountEngine, "_spill_stream", counting_fill
+    )
+    ck2 = SpillCheckpoint(str(tmp_path / "fo"), "fp-fo")
+    res = mk().count(URI, spill_ckpt=ck2)
+    assert fills[0] == 1  # REFILLED (stale mutated buckets discarded)
+    assert res.info["spill_splits"] > 0
+    assert _as_table(res) == expect
+
+
 def test_execute_spill_per_bank_histo2d_midpass_resume(
     data_dir, tmp_path, monkeypatch
 ):
